@@ -1,38 +1,787 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse->enrich->route->aggregate counts.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the pre-registered
+views. Pipeline queries operate on the canonical ``transcripts`` table
+derived deterministically from the ``events`` view (same SQL both engines —
+see otel_arrow_adapter_spark/datagen/transcripts.py), so every pipeline
+stage is oracle-checkable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otel_arrow_adapter_spark.datagen import (  # noqa: E402
+    synthesize_tool_catalog,
+    transcripts_from_events,
+)
+from otel_arrow_adapter_spark.datagen.transcripts import duckdb_transcripts_cte  # noqa: E402
+from otel_arrow_adapter_spark.operators import (  # noqa: E402
+    melt_attributes,
+    parse_turns,
+    route_signals,
+)
+from otel_arrow_adapter_spark.operators.enrich import enrich_with_catalog  # noqa: E402
+from otel_arrow_adapter_spark.operators.encode import (  # noqa: E402
+    delta_encode_parent_ids,
+    with_encode_order,
+)
+from otel_arrow_adapter_spark.operators.normalize import (  # noqa: E402
+    assign_surrogate_ids,
+    stable_turn_order,
+)
+
+N_CATALOG_TOOLS = 6  # tool-6 exists in data but not in catalog -> quarantine
+
+# DuckDB prelude shared by all pipeline oracles: transcripts CTE + catalog.
+_CTE = (
+    duckdb_transcripts_cte()
+    + """,
+tool_catalog AS (
+  SELECT 'tool-' || CAST(i AS VARCHAR) AS tool,
+         'service-' || CAST(i % 10 AS VARCHAR) AS service_name
+  FROM range(0, {n}) t(i)
+),
+classified AS (
+  SELECT t.*,
+    CASE
+      WHEN regexp_matches(t.text, '^ts_us=[0-9]+ level=') THEN 'log'
+      WHEN regexp_matches(t.text, '^name=[a-z_]+ value=') THEN 'metric'
+      WHEN regexp_matches(t.text, '^span=[0-9a-f]{{16}} parent=') THEN 'trace'
+      ELSE 'quarantine'
+    END AS signal_type,
+    (t.tool IS NOT NULL AND c.tool IS NULL) AS bad_tool,
+    c.service_name AS service_name
+  FROM transcripts t LEFT JOIN tool_catalog c USING (tool)
+)
+""".format(n=N_CATALOG_TOOLS)
+)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_turns(_transcripts(spark, sf_dir))
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    parsed = assign_surrogate_ids(_parsed(spark, sf_dir))
+    cat = synthesize_tool_catalog(spark, n_tools=N_CATALOG_TOOLS)
+    return route_signals(enrich_with_catalog(parsed, cat))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries (operators from SURVEY.md §2 over transcripts)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/R1: per-sink aggregate counts (the north-rule surface) —
+    one labeled projection + one groupBy (single scan)."""
+    from otel_arrow_adapter_spark.plans import build_labeled
+
+    cat = synthesize_tool_catalog(spark, n_tools=N_CATALOG_TOOLS)
+    labeled = build_labeled(_transcripts(spark, sf_dir), cat)
+    return labeled.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("conv_id").alias("n_convs")
+    )
+
+
+def q_pipeline_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6: parsed log-like turns with typed fields."""
+    return (
+        _parsed(spark, sf_dir)
+        .where(F.col("signal_type") == "log")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "log_ts_us",
+            "severity_text",
+            "severity_number",
+            "msg",
+            "code",
+            "retry",
+        )
+    )
+
+
+def q_pipeline_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _parsed(spark, sf_dir)
+        .where(F.col("signal_type") == "metric")
+        .select("conv_id", "turn_idx", "metric_name", "metric_value", "metric_unit")
+    )
+
+
+def q_pipeline_parse_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _parsed(spark, sf_dir)
+        .where(F.col("signal_type") == "trace")
+        .select("conv_id", "turn_idx", "span_hex", "parent_hex", "dur_ms")
+    )
+
+
+def q_pipeline_enrich_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: broadcast enrichment; per-service turn counts."""
+    cat = synthesize_tool_catalog(spark, n_tools=N_CATALOG_TOOLS)
+    enriched = enrich_with_catalog(_parsed(spark, sf_dir), cat)
+    return (
+        enriched.where(F.col("service_name").isNotNull())
+        .groupBy("service_name")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.countDistinct("conv_id").alias("n_convs"))
+    )
+
+
+def q_pipeline_attrs_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: long attrs table (key, type tag, typed value columns)."""
+    attrs = melt_attributes(_parsed(spark, sf_dir))
+    return attrs.select(
+        "conv_id",
+        "turn_idx",
+        "key",
+        F.col("type").cast("int").alias("type"),
+        "str",
+        "int",
+        "bool",
+    )
+
+
+def q_pipeline_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: stable turn ordering window."""
+    return stable_turn_order(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "turn_order"
+    )
+
+
+def q_pipeline_dict_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: dictionary table for the tool column (sorted codes)."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.select("tool")
+        .where(F.col("tool").isNotNull())
+        .distinct()
+        .withColumn("tool_code", (F.dense_rank().over(W.orderBy("tool")) - 1).cast("int"))
+    )
+
+
+def q_pipeline_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: parent-id delta-group encoding over the melted attrs."""
+    attrs = melt_attributes(_parsed(spark, sf_dir)).withColumn(
+        "parent_id",
+        (F.pmod(F.xxhash64("conv_id"), F.lit(100000)) * 1000 + F.col("turn_idx")).cast("long"),
+    )
+    enc = delta_encode_parent_ids(with_encode_order(attrs))
+    # aggregate (stable surface): per key, #groups and delta checksum
+    return enc.groupBy("key").agg(
+        F.sum(F.col("group_start").cast("long")).alias("n_groups"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("group_start"), F.col("parent_id_delta")).otherwise(F.lit(0))).alias(
+            "delta_sum"
+        ),
+        F.min(F.col("parent_id_delta")).alias("min_delta"),
+    )
+
+
+def q_pipeline_route_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/R1: quarantine rows with error labels (error-not-crash)."""
+    return _routed(spark, sf_dir)["quarantine"].select("conv_id", "turn_idx", "error")
+
+
+def q_pipeline_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-style analytics: per (severity, retry) counts over parsed logs."""
+    return (
+        _parsed(spark, sf_dir)
+        .where(F.col("signal_type") == "log")
+        .groupBy("severity_text")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("retry"), 1).otherwise(0)).alias("n_retry"),
+            F.avg("code").alias("avg_code"),
+        )
+        .withColumn("avg_code", F.round("avg_code", 4))
+    )
+
+
+def q_pipeline_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: first-seen change detection — running signal-segment id per conv."""
+    parsed = _parsed(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    changed = (
+        F.when(F.lag("signal_type").over(w).isNull(), 1)
+        .when(F.col("signal_type") == F.lag("signal_type").over(w), 0)
+        .otherwise(1)
+    )
+    seg = F.sum(changed).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return parsed.select(
+        "conv_id", "turn_idx", "signal_type", seg.cast("long").alias("segment_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics queries over driver tables (agg/join/window coverage)
+# ---------------------------------------------------------------------------
+
+def q_q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) — classic lag+cumsum idiom (W3)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    per_event = ev.select("user_id", "event_id", sess.alias("session_id"))
+    return per_event.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def _docs_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic duplicates: exact copies (doc_id%10==0,
+    +100000) and near copies with a token tail (doc_id%7==0, +200000) —
+    so dedup operators have something to find."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DOCS_PLUS_SQL = """
+WITH docs_plus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' near duplicate tail' AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+# normalized text + distinct word-3-gram shingles, DuckDB form
+_SHINGLES_SQL = _DOCS_PLUS_SQL + """,
+toks AS (
+  SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM docs_plus
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+  )
+)"""
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.text import token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.text import lang_id, stopword_ratio
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.text import fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_plus(spark, sf_dir)).select(
+        "fp", "n_docs", F.col("doc_ids").cast("string").alias("doc_ids")
+    )
+
+
+def q_doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.dedup import minhash_signature
+
+    return minhash_signature(_docs_plus(spark, sf_dir), num_hashes=4)
+
+
+def q_doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.dedup import lsh_candidates, minhash_signature
+
+    sig = minhash_signature(_docs_plus(spark, sf_dir), num_hashes=8)
+    return lsh_candidates(sig, num_hashes=8, bands=4)
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verify — the
+    scale path (the all-pairs inverted-index join is quadratic on hot
+    shingles; candidates bound it)."""
+    from otel_arrow_adapter_spark.functions.dedup import (
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    dp = _docs_plus(spark, sf_dir)
+    cand = lsh_candidates(minhash_signature(dp, num_hashes=8), num_hashes=8, bands=4)
+    return jaccard_pairs(dp, threshold=0.5, candidates=cand)
+
+
+def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pandas-UDF signature -> chunk-blocked join).
+    No SQL oracle (bit-voting UDF); correctness via pytest properties."""
+    from otel_arrow_adapter_spark.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs_plus(spark, sf_dir), max_hamming=3)
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.text import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_topk(e, query_vec_id=0, k=10)
+
+
+def q_emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.similarity import ivf_assign
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return (
+        ivf_assign(e, n_centroids=10)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("cos_sim"), 4).alias("avg_sim"))
+    )
+
+
+def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_adapter_spark.functions.similarity import ann_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ann_pairs(e, threshold=0.25, m=8)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipeline_sink_counts": q_pipeline_sink_counts,
+    "pipeline_parse_logs": q_pipeline_parse_logs,
+    "pipeline_parse_metrics": q_pipeline_parse_metrics,
+    "pipeline_parse_traces": q_pipeline_parse_traces,
+    "pipeline_enrich_services": q_pipeline_enrich_services,
+    "pipeline_attrs_melt": q_pipeline_attrs_melt,
+    "pipeline_stable_order": q_pipeline_stable_order,
+    "pipeline_dict_tool": q_pipeline_dict_tool,
+    "pipeline_delta_encode": q_pipeline_delta_encode,
+    "pipeline_route_quarantine": q_pipeline_route_quarantine,
+    "pipeline_severity_rollup": q_pipeline_severity_rollup,
+    "pipeline_change_detect": q_pipeline_change_detect,
+    "q1_lineitem_agg": q_q1_lineitem_agg,
+    "events_sessionize": q_events_sessionize,
+    "doc_token_count": q_doc_token_count,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_quality": q_doc_quality,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_minhash_sig": q_doc_minhash_sig,
+    "doc_lsh_candidates": q_doc_lsh_candidates,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_simhash_near_dups": q_doc_simhash_near_dups,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ivf_assign": q_emb_ivf_assign,
+    "emb_ann_pairs": q_emb_ann_pairs,
+}
+
+
+ORACLES: dict[str, str] = {
+    "pipeline_sink_counts": _CTE + """
+SELECT CASE WHEN signal_type = 'quarantine' OR bad_tool THEN 'quarantine'
+            ELSE signal_type || 's' END AS sink,
+       count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_convs
+FROM classified
+GROUP BY 1
+""",
+    "pipeline_parse_logs": _CTE + """
+SELECT conv_id, turn_idx,
+  CAST(nullif(regexp_extract(text, 'ts_us=([0-9]+)', 1), '') AS BIGINT) AS log_ts_us,
+  nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
+  CASE nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '')
+    WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+    WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END AS severity_number,
+  nullif(regexp_extract(text, ' msg="([^"]*)"', 1), '') AS msg,
+  CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT) AS code,
+  (nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true') AS retry
+FROM classified WHERE signal_type = 'log'
+""",
+    "pipeline_parse_metrics": _CTE + """
+SELECT conv_id, turn_idx,
+  nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+  CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS metric_value,
+  nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+FROM classified WHERE signal_type = 'metric'
+""",
+    "pipeline_parse_traces": _CTE + """
+SELECT conv_id, turn_idx,
+  nullif(regexp_extract(text, '^span=([0-9a-f]{16})', 1), '') AS span_hex,
+  nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), '') AS parent_hex,
+  CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms
+FROM classified WHERE signal_type = 'trace'
+""",
+    "pipeline_enrich_services": _CTE + """
+SELECT service_name, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+FROM classified WHERE service_name IS NOT NULL
+GROUP BY 1
+""",
+    "pipeline_attrs_melt": _CTE + """
+, parsed AS (
+  SELECT conv_id, turn_idx, tool,
+    nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS level,
+    CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT) AS code,
+    (nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true') AS retry,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS unit,
+    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms
+  FROM classified
+)
+SELECT conv_id, turn_idx, 'tool' AS key, 1 AS type, tool AS str,
+       CAST(NULL AS BIGINT) AS int, CAST(NULL AS BOOLEAN) AS bool
+  FROM parsed WHERE tool IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'level', 1, level, NULL, NULL FROM parsed WHERE level IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'code', 2, NULL, code, NULL FROM parsed WHERE code IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'retry', 4, NULL, NULL, retry FROM parsed WHERE retry IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'unit', 1, unit, NULL, NULL FROM parsed WHERE unit IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'dur_ms', 2, NULL, dur_ms, NULL FROM parsed WHERE dur_ms IS NOT NULL
+""",
+    "pipeline_stable_order": duckdb_transcripts_cte() + """
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_order
+FROM transcripts
+""",
+    "pipeline_dict_tool": duckdb_transcripts_cte() + """
+SELECT tool, CAST(dense_rank() OVER (ORDER BY tool) - 1 AS INT) AS tool_code
+FROM (SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL)
+""",
+    "pipeline_route_quarantine": _CTE + """
+SELECT conv_id, turn_idx,
+  CASE WHEN signal_type = 'quarantine' THEN 'unparseable_text'
+       ELSE 'unknown_tool' END AS error
+FROM classified WHERE signal_type = 'quarantine' OR bad_tool
+""",
+    "pipeline_severity_rollup": _CTE + """
+SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
+       count(*) AS n,
+       sum(CASE WHEN nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true'
+                THEN 1 ELSE 0 END) AS n_retry,
+       round(avg(CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT)), 4) AS avg_code
+FROM classified WHERE signal_type = 'log'
+GROUP BY 1
+""",
+    "pipeline_change_detect": _CTE + """
+SELECT conv_id, turn_idx, signal_type,
+  CAST(sum(CASE WHEN prev IS NULL OR prev <> signal_type THEN 1 ELSE 0 END)
+    OVER (PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+FROM (
+  SELECT conv_id, turn_idx, signal_type,
+         lag(signal_type) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM classified
+)
+""",
+    "q1_lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "events_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+    "doc_token_count": """
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars_actual
+FROM documents
+""",
+    "doc_lang_id": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), hits AS (
+  SELECT doc_id, len(t) AS n,
+    len(list_filter(t, x -> x IN ('en','de','fr','es'))) AS _dummy,
+    len(list_filter(t, x -> x IN ('the','a','of','and'))) AS h_en,
+    len(list_filter(t, x -> x IN ('der','die','und','das'))) AS h_de,
+    len(list_filter(t, x -> x IN ('le','la','et','les'))) AS h_fr,
+    len(list_filter(t, x -> x IN ('el','los','y','una'))) AS h_es,
+    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_sw
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
+       WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
+       WHEN h_fr = greatest(h_en,h_de,h_fr,h_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  round(CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio
+FROM hits
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "doc_dedup_exact": _DOCS_PLUS_SQL + """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_docs,
+       CAST(list_sort(list(doc_id)) AS VARCHAR) AS doc_ids
+FROM docs_plus
+GROUP BY 1 HAVING count(*) > 1
+""",
+    "doc_minhash_sig": _SHINGLES_SQL + """
+SELECT doc_id,
+  min(substr(md5('0:' || shingle), 1, 8)) AS sig_0,
+  min(substr(md5('0:' || shingle), 9, 8)) AS sig_1,
+  min(substr(md5('0:' || shingle), 17, 8)) AS sig_2,
+  min(substr(md5('0:' || shingle), 25, 8)) AS sig_3
+FROM sh GROUP BY doc_id
+""",
+    "doc_lsh_candidates": _SHINGLES_SQL + """,
+sig AS (
+  SELECT doc_id,
+    min(substr(md5('0:' || shingle), 1, 8)) AS s0, min(substr(md5('0:' || shingle), 9, 8)) AS s1,
+    min(substr(md5('0:' || shingle), 17, 8)) AS s2, min(substr(md5('0:' || shingle), 25, 8)) AS s3,
+    min(substr(md5('1:' || shingle), 1, 8)) AS s4, min(substr(md5('1:' || shingle), 9, 8)) AS s5,
+    min(substr(md5('1:' || shingle), 17, 8)) AS s6, min(substr(md5('1:' || shingle), 25, 8)) AS s7
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', s0, s1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', s2, s3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', s4, s5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', s6, s7)) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+""",
+    "doc_jaccard_pairs": _SHINGLES_SQL + """,
+sig AS (
+  SELECT doc_id,
+    min(substr(md5('0:' || shingle), 1, 8)) AS s0, min(substr(md5('0:' || shingle), 9, 8)) AS s1,
+    min(substr(md5('0:' || shingle), 17, 8)) AS s2, min(substr(md5('0:' || shingle), 25, 8)) AS s3,
+    min(substr(md5('1:' || shingle), 1, 8)) AS s4, min(substr(md5('1:' || shingle), 9, 8)) AS s5,
+    min(substr(md5('1:' || shingle), 17, 8)) AS s6, min(substr(md5('1:' || shingle), 25, 8)) AS s7
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', s0, s1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', s2, s3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', s4, s5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', s6, s7)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+""",
+    "doc_quality": """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it'))) END AS h_sw,
+    length(lower(text)) AS n_low,
+    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_stripped
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    least(n / 50.0, 1.0) * 0.4
+    + (CASE WHEN (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) > 0.01
+             AND (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) < 0.6
+            THEN 1.0 ELSE 0.3 END) * 0.3
+    + (1.0 - least((CASE WHEN n_low > 0
+                         THEN (n_low - n_stripped) / CAST(n_low AS DOUBLE)
+                         ELSE 0.0 END) * 5, 1.0)) * 0.3
+  , 6) AS quality
+FROM f
+""",
+    "emb_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id,
+    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS d,
+    sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS na,
+    sqrt(sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))) AS nq
+  FROM embeddings e, q, range(1, 65) i(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+),
+ranked AS (
+  SELECT vec_id, round(d / (na * nq), 6) AS cos_sim,
+    CAST(row_number() OVER (ORDER BY d / (na * nq) DESC, vec_id ASC) AS INT) AS rank
+  FROM dots
+)
+SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+""",
+    "emb_ivf_assign": """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+),
+dots AS (
+  SELECT e.vec_id, c.centroid_id,
+    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cv[i.i] AS DOUBLE)) AS d,
+    sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS na,
+    sqrt(sum(CAST(c.cv[i.i] AS DOUBLE) * CAST(c.cv[i.i] AS DOUBLE))) AS nc
+  FROM embeddings e, cents c, range(1, 65) i(i)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, centroid_id, round(d / (na * nc), 6) AS cos_sim,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d / (na * nc) DESC, centroid_id ASC) AS rn
+  FROM dots
+)
+SELECT centroid_id, count(*) AS n_vecs, round(avg(cos_sim), 4) AS avg_sim
+FROM best WHERE rn = 1 GROUP BY centroid_id
+""",
+    "emb_ann_pairs": """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.embedding AS ea, r.embedding AS eb
+  FROM b l JOIN b r USING (bucket) WHERE l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+    round(sum(CAST(ea[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(ea[i.i] AS DOUBLE) * CAST(ea[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(eb[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM cand, range(1, 65) i(i)
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.25
+""",
+}
+
+# pipeline_delta_encode has no oracle: the encode order inside each
+# (key,value) group is engine-internal (row_number over ties); the driver
+# records the rows-only check and pytest proves encode∘decode == id.
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse -> enrich -> route -> per-sink aggregate counts."""
+    return q_pipeline_sink_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over a ``documents(doc_id, text, ...)`` table, each with a
+scale story:
+
+- exact:        fingerprint groupBy — one shuffle on a 32-byte key.
+- minhash-LSH:  shingle -> k md5-minhashes -> band buckets -> bucket join.
+                Candidate generation never compares all pairs; at 100 TB
+                the bucket join is the only shuffle and banding bounds
+                bucket sizes.
+- simhash:      64-bit near-dup signature via token-hash bit voting
+                (vectorized pandas UDF — bit arithmetic isn't columnar SQL).
+- ngram-jaccard: exact verify for candidate pairs (used as LSH verifier and
+                as ground truth at test SF).
+- embedding-cosine: near-dup by vector similarity (see similarity.py).
+
+All md5-based hashing is engine-portable: the DuckDB oracles compute
+byte-identical signatures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for groups with >1 member."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) long table — distinct shingle set per doc.
+
+    Built as posexplode(tokens) + window lead(k-1), NOT as an array
+    ``transform`` lambda: Spark's higher-order functions are interpreted
+    (no whole-stage codegen) and cost ~100µs/element, while
+    generate + window + concat stay fully codegen'd. The window shuffle
+    hash-partitions on doc_id — the same key the downstream minhash
+    groupBy needs, so the sort-based shingling is effectively free at
+    scale (one shuffle serves both)."""
+    from pyspark.sql import Window
+
+    from .text import normalize_text
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        toks.select(
+            "doc_id",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def minhash_signature(docs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, k: int = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): lexicographic min-hash per shingle set.
+
+    Hash family: 8-hex-char slices of salted md5(shingle) — one md5 yields
+    4 independent-enough slices, so n signatures cost ceil(n/4) md5s per
+    shingle instead of n. String min is engine-portable (the DuckDB oracle
+    computes byte-identical signatures; 64-bit integer hash mixing would
+    not be). Shape: one explode + one groupBy with n min() aggregates —
+    a single map-side-combined shuffle; the aggregation also acts as a
+    pipeline breaker so downstream banding doesn't re-expand the shingle
+    expressions (projection collapse would otherwise duplicate them)."""
+    sh = doc_shingles(docs, k)
+    aggs = []
+    for i in range(num_hashes):
+        salt, slot = divmod(i, 4)
+        h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("shingle")))
+        aggs.append(F.min(F.substring(h, 1 + 8 * slot, 8)).alias(f"sig_{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (a < b).
+
+    A pair is a candidate if ANY band matches (standard LSH OR-construction).
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = signatures.select("doc_id", *band_cols)
+    # long form: (band_idx, bucket, doc_id)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all (or candidate) pairs.
+
+    Without candidates: inverted-index join on shingle (never all-pairs —
+    only docs sharing >=1 shingle are compared)."""
+    sh = doc_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["doc_a", "doc_b"], how="inner")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — bit voting isn't columnar SQL)
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for t in texts:
+        if not t:
+            out.append(0)
+            continue
+        toks = str(t).lower().split()
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes += 2 * bits - 1
+        sig = int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+        # to signed 64-bit for Spark LongType
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long). Arrow-batched; per-token md5 keeps it
+    deterministic across engines/runs."""
+    udf = F.pandas_udf(_simhash_batch, "long")
+    return docs.select("doc_id", udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Scale path: block on 4 16-bit chunks (a pair within distance 3 must
+    match at least one chunk exactly — pigeonhole), join per block, verify
+    with bit_count. Never all-pairs."""
+    sig = simhash(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_idx"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

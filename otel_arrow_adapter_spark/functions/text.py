@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All hot-path functions are native column expressions (whole-stage codegen,
+no Python) and have exact DuckDB-SQL oracles. Heuristics are deliberately
+simple + deterministic: the operator surface (tokenize, quality-score,
+language-ID, fingerprint) is what matters, not linguistic accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+LANG_PROFILES = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "una"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters outside [a-z0-9 ] (lower-cased)."""
+    low = F.lower(text)
+    stripped = F.regexp_replace(low, "[^a-z0-9 ]", "")
+    return F.when(
+        F.length(low) > 0, (F.length(low) - F.length(stripped)) / F.length(low)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: long enough, low punctuation noise,
+    plausible stopword density — the usual pretraining-corpus filters."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.when((sw > 0.01) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round((len_score * 0.4 + sw_score * 0.3 + punct_score * 0.3), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts,
+    'und' (undetermined) when no profile matches."""
+    toks = tokens(F.lower(text))
+    def hits(words):
+        # bind `words` via closure returning a 1-arg lambda (PySpark treats
+        # a 2-arg lambda as (element, index))
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(lang, hits(words)) for lang, words in LANG_PROFILES.items()]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reverse order so earlier profiles win ties (deterministic)
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (content identity
+    for exact dedup; cheap and oracle-identical in DuckDB)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle set (distinct)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,76 @@
+"""A1-A5: statistics aggregations.
+
+- ``sink_counts``: per-sink aggregate counts, the north-rule correctness
+  surface (analog of ProducerStats, /root/reference/pkg/otel/stats/stats.go:26-61).
+- ``schema_analyzer``: per-column distinct counts / min / max / null rate —
+  the reference's schema analyzer (/root/reference/pkg/otel/common/arrow/analyzer.go:41-237)
+  as one pass of distributed aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sink_counts(sinks: dict[str, DataFrame], run_id: str = "run-0") -> DataFrame:
+    """Union of per-sink aggregates: (sink, run_id, n_rows, n_convs, min_ts, max_ts)."""
+    parts = []
+    for name, df in sinks.items():
+        parts.append(
+            df.agg(
+                F.lit(name).alias("sink"),
+                F.lit(run_id).alias("run_id"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def schema_analyzer(df: DataFrame, approx: bool = True) -> DataFrame:
+    """One row per column: distinct count, null fraction, min/max (as strings).
+
+    ``approx`` uses HyperLogLog (approx_count_distinct) — the only sane
+    choice at 10^12 rows; exact mode exists for oracle comparison at test SF.
+    """
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    for c in df.columns:
+        col = F.col(c)
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        )
+        aggs += [
+            distinct.alias(f"{c}__distinct"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot to (column, n_distinct, null_frac, min, max)
+    stacked = wide.select(
+        F.expr(
+            "stack({}, {}) as (column, n_distinct, n_nulls, min_value, max_value)".format(
+                len(df.columns),
+                ", ".join(
+                    f"'{c}', `{c}__distinct`, `{c}__nulls`, `{c}__min`, `{c}__max`"
+                    for c in df.columns
+                ),
+            )
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+    return stacked.select(
+        "column",
+        "n_distinct",
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_frac"),
+        "min_value",
+        "max_value",
+        "n_rows",
+    )

@@ -1,0 +1,195 @@
+"""Training-data operator tests: text analysis, dedup, similarity, multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from otel_arrow_adapter_spark.functions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signature,
+    simhash_near_dups,
+)
+from otel_arrow_adapter_spark.functions.similarity import ann_pairs, cosine_topk, ivf_assign
+from otel_arrow_adapter_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    base = docs.select("doc_id", "text")
+    exact = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world foo"), (2, ""), (3, "  hello world FOO  ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[1].n == 3 and rows[2].n == 0
+    # fingerprint is whitespace/case-insensitive -> 1 and 3 collide
+    assert rows[1].fp == rows[3].fp
+
+
+def test_lang_id_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and a dog"),
+            (2, "der hund und die katze und das haus"),
+            (3, "le chat et la maison et les chiens"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dict(df.select("doc_id", lang_id(F.col("text")).alias("l")).collect())
+    assert rows == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_bounds(spark, docs):
+    qs = docs.select(quality_score(F.col("text")).alias("q"))
+    mn, mx = qs.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_shingles_k3(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(shingles(F.col("text")).alias("s")).collect()[0].s
+    assert got == ["a b c", "b c d"]
+
+
+def test_exact_duplicates_found(spark, docs_with_dups):
+    groups = exact_duplicates(docs_with_dups).collect()
+    # every doc_id%10==0 original got an exact copy
+    n_expected = docs_with_dups.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    ).count()
+    assert len(groups) == n_expected
+    assert all(g.n_docs == 2 for g in groups)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    sig = minhash_signature(docs_with_dups, num_hashes=8)
+    cand = lsh_candidates(sig, num_hashes=8, bands=4)
+    verified = jaccard_pairs(docs_with_dups, threshold=0.5, candidates=cand)
+    pairs = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    # every near-copy pair (x, x+200000) with jaccard >= .5 must be found
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    # LSH with 4 bands of 2 on jaccard>=0.9 pairs: recall should be total here
+    high = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs_with_dups, threshold=0.9).collect()
+    }
+    assert high <= pairs <= truth
+    assert len(high) > 0
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    pairs = simhash_near_dups(docs_with_dups, max_hamming=3)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    exact_pairs = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in docs_with_dups.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    # identical docs have hamming 0 -> always found
+    assert exact_pairs <= got
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+
+
+def test_cosine_topk(spark, emb):
+    top = cosine_topk(emb, query_vec_id=0, k=5).collect()
+    assert len(top) == 5
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r.vec_id != 0 for r in top)
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    """Sign-LSH candidates must contain every same-bucket true pair; verify
+    ANN results are a subset of brute-force threshold pairs."""
+    approx = {(r.vec_a, r.vec_b) for r in ann_pairs(emb, threshold=0.25, m=4).collect()}
+    from otel_arrow_adapter_spark.functions.similarity import cosine
+
+    l, r = emb.alias("l"), emb.alias("r")
+    brute = {
+        (row.vec_a, row.vec_b)
+        for row in (
+            l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(
+                F.col("l.vec_id").alias("vec_a"),
+                F.col("r.vec_id").alias("vec_b"),
+                cosine(F.col("l.embedding"), F.col("r.embedding")).alias("c"),
+            )
+            .where(F.col("c") >= 0.25)
+        ).collect()
+    }
+    assert approx <= brute
+    assert len(approx) > 0
+
+
+def test_ivf_assign_total(spark, emb):
+    assigned = ivf_assign(emb, n_centroids=10)
+    assert assigned.count() == emb.count()
+    # seed vectors assign to themselves (cos=1 is max)
+    self_rows = {r.vec_id: r.centroid_id for r in assigned.where(F.col("vec_id") < 10).collect()}
+    assert all(v == c for v, c in self_rows.items())
+
+
+def test_multimodal_plumbing(spark):
+    from otel_arrow_adapter_spark.functions.multimodal import (
+        extract_features,
+        frame_sample,
+        synthesize_media,
+        FEATURE_DIM,
+    )
+
+    media = synthesize_media(spark, n=50)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same features
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+    fs = frame_sample(media, every_n=1)
+    assert fs.count() == 50  # n_frames=1 each

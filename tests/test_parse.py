@@ -1,0 +1,79 @@
+"""Parse + classify + melt tests — mirrors the reference's builder unit tests
+(pkg/otel/logs/arrow/all_test.go) re-expressed for the text grammar."""
+
+from pyspark.sql import functions as F
+
+from otel_arrow_adapter_spark.operators import melt_attributes, parse_turns
+from otel_arrow_adapter_spark.operators.melt import ATTR_BOOL, ATTR_INT, ATTR_STR
+
+
+def test_classification_partition(spark, transcripts):
+    parsed = parse_turns(transcripts)
+    by_type = dict(parsed.groupBy("signal_type").count().collect())
+    assert set(by_type) == {"log", "metric", "trace", "quarantine"}
+    assert sum(by_type.values()) == transcripts.count()
+
+
+def test_log_fields(spark):
+    df = spark.createDataFrame(
+        [("c-1", 0, "system", 'ts_us=1704067200000000 level=ERROR msg="boom" code=42 retry=true', None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    row = parse_turns(df).collect()[0]
+    assert row.signal_type == "log"
+    assert row.log_ts_us == 1704067200000000
+    assert row.severity_text == "ERROR"
+    assert row.severity_number == 17
+    assert row.msg == "boom"
+    assert row.code == 42
+    assert row.retry is True
+    assert row.body.str == "boom"
+
+
+def test_metric_and_trace_fields(spark):
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "name=view_latency value=123 unit=ms", "tool-1", None),
+            ("c", 1, "tool", "span=00000000000000ab parent=000000cd dur_ms=7", "tool-2", None),
+            ("c", 2, "user", "!!corrupt payload 9", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = {r.turn_idx: r for r in parse_turns(df).collect()}
+    assert rows[0].signal_type == "metric" and rows[0].metric_value == 123 and rows[0].metric_unit == "ms"
+    assert rows[1].signal_type == "trace" and rows[1].dur_ms == 7
+    assert rows[1].span_hex == "00000000000000ab" and rows[1].parent_hex == "000000cd"
+    assert rows[2].signal_type == "quarantine"
+
+
+def test_optional_fields_are_null_not_empty(spark):
+    """P6 non-default suppression: missing keys -> null (never '')."""
+    df = spark.createDataFrame(
+        [("c", 0, "system", 'ts_us=1 level=INFO msg="x" code=5', None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    row = parse_turns(df).collect()[0]
+    assert row.retry is None
+    assert row.metric_name is None and row.span_hex is None
+
+
+def test_melt_shape_and_union_invariant(spark, transcripts):
+    parsed = parse_turns(transcripts)
+    attrs = melt_attributes(parsed)
+    # exactly one typed value column non-null per row (AnyValue union invariant)
+    bad = attrs.where(
+        (
+            F.col("str").isNotNull().cast("int")
+            + F.col("int").isNotNull().cast("int")
+            + F.col("double").isNotNull().cast("int")
+            + F.col("bool").isNotNull().cast("int")
+        )
+        != 1
+    ).count()
+    assert bad == 0
+    # type tag matches the non-null column
+    assert attrs.where((F.col("type") == ATTR_STR) & F.col("str").isNull()).count() == 0
+    assert attrs.where((F.col("type") == ATTR_INT) & F.col("int").isNull()).count() == 0
+    assert attrs.where((F.col("type") == ATTR_BOOL) & F.col("bool").isNull()).count() == 0
+    # no empty keys (attributes.go:237-239 skip-empty semantics)
+    assert attrs.where(F.col("key") == "").count() == 0

@@ -1,0 +1,51 @@
+"""Structured Streaming variant: micro-batch routing with checkpoint (ack
+analog) and watermarked windowed counts."""
+
+import pyspark.sql.functions as F
+
+from otel_arrow_adapter_spark.streaming.stream import (
+    build_stream,
+    read_transcript_stream,
+    start_routed_stream,
+    windowed_sink_counts,
+)
+
+
+def test_stream_routes_all_rows(spark, transcripts, small_catalog, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts.repartition(4).write.parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files=2)
+    labeled = build_stream(stream, small_catalog)
+    q = start_routed_stream(labeled, out, ckpt, trigger_sec=1)
+    q.processAllAvailable()
+    q.stop()
+
+    routed = spark.read.parquet(f"{out}/routed")
+    assert routed.count() == transcripts.count()
+    assert set(r.sink for r in routed.select("sink").distinct().collect()) == {
+        "logs", "metrics", "traces", "quarantine"
+    }
+    # per-turn text preserved
+    a = transcripts.select("conv_id", "turn_idx", "text")
+    b = routed.select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_windowed_counts(spark, transcripts, tmp_path):
+    src = str(tmp_path / "src2")
+    transcripts.repartition(2).write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    agg = windowed_sink_counts(build_stream(stream), window="1 day", watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select sum(n_rows) as n from wc").collect()[0].n
+    assert got == transcripts.count()
