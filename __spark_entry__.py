@@ -115,6 +115,28 @@ def q_pipeline_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_parse_logs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6 via the vectorized Arrow-UDF parse (mapInArrow + RE2) — same
+    oracle as the JVM expression parse: both physical paths must agree
+    (reference discipline: profiler.go:278-295 cross-protocol equality)."""
+    from otel_arrow_adapter_spark.operators.parse_arrow import parse_turns_arrow
+
+    return (
+        parse_turns_arrow(_transcripts(spark, sf_dir))
+        .where(F.col("signal_type") == "log")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "log_ts_us",
+            "severity_text",
+            "severity_number",
+            "msg",
+            "code",
+            "retry",
+        )
+    )
+
+
 def q_pipeline_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _parsed(spark, sf_dir)
@@ -224,6 +246,53 @@ def q_pipeline_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = F.sum(changed).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return parsed.select(
         "conv_id", "turn_idx", "signal_type", seg.cast("long").alias("segment_id")
+    )
+
+
+def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/J1-J3 round-trip: route to per-sink views, reconstruct the original
+    relation from the union of sinks. Oracle = the transcripts table itself —
+    the driver's value-hash IS the routed-row equality gate (the analog of
+    assert.Equiv, /root/reference/pkg/otel/assert/equiv.go:107-157)."""
+    from otel_arrow_adapter_spark.operators.reconstruct import reconstruct_turns
+
+    return reconstruct_turns(_routed(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_pipeline_obfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: deterministic string obfuscation (hash mode) over log messages."""
+    from otel_arrow_adapter_spark.operators.obfuscate import obfuscate_strings
+
+    logs = _parsed(spark, sf_dir).where(F.col("signal_type") == "log")
+    return obfuscate_strings(logs, ["msg"], mode="hash").select(
+        "conv_id", "turn_idx", F.col("msg").alias("msg_token")
+    )
+
+
+def q_pipeline_schema_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-column schema statistics (exact mode at oracle SF; approx
+    HyperLogLog mode is the 10^12-row path)."""
+    from otel_arrow_adapter_spark.operators.aggregate import schema_analyzer
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text", "tool")
+    out = schema_analyzer(t, approx=False)
+    return out.select(
+        "column", "n_distinct", F.round("null_frac", 6).alias("null_frac"),
+        "min_value", "max_value", "n_rows",
+    )
+
+
+def q_pipeline_weighted_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: weighted traffic splitting to exporter sets (8/5/3 sixteenths)."""
+    from otel_arrow_adapter_spark.operators.route import weighted_split
+
+    split = weighted_split(
+        _transcripts(spark, sf_dir), {"exp-a": 8, "exp-b": 5, "exp-c": 3}
+    )
+    return split.groupBy("exporter").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("conv_id").alias("n_convs")
     )
 
 
@@ -419,9 +488,37 @@ def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs(e, threshold=0.25, m=8)
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: video frame sampling (explode over n_frames) on
+    the deterministic synthetic media table; decode itself is stubbed (the
+    container has no codecs) but the schema/partitioning/explode are real."""
+    from otel_arrow_adapter_spark.functions.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(spark, n=200)
+    return frame_sample(media, every_n=2).select("media_id", "frame_idx")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction via mapInPandas (decode STUBBED with a
+    deterministic payload-hash fake — real PIL/ffmpeg swap-in point). No SQL
+    oracle (sha-derived floats); correctness via pytest determinism tests.
+    Surface: per-mime feature norms."""
+    from otel_arrow_adapter_spark.functions.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=200)
+    feats = extract_features(media)
+    joined = feats.join(media.select("media_id", F.col("meta.mime").alias("mime")), "media_id")
+    return joined.select(
+        "media_id",
+        "mime",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 6).alias("sq_norm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "pipeline_parse_logs": q_pipeline_parse_logs,
+    "pipeline_parse_logs_arrow": q_pipeline_parse_logs_arrow,
     "pipeline_parse_metrics": q_pipeline_parse_metrics,
     "pipeline_parse_traces": q_pipeline_parse_traces,
     "pipeline_enrich_services": q_pipeline_enrich_services,
@@ -431,6 +528,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_delta_encode": q_pipeline_delta_encode,
     "pipeline_route_quarantine": q_pipeline_route_quarantine,
     "pipeline_severity_rollup": q_pipeline_severity_rollup,
+    "pipeline_roundtrip": q_pipeline_roundtrip,
+    "pipeline_obfuscate": q_pipeline_obfuscate,
+    "pipeline_schema_analyzer": q_pipeline_schema_analyzer,
+    "pipeline_weighted_split": q_pipeline_weighted_split,
+    "media_frame_sample": q_media_frame_sample,
+    "media_features": q_media_features,
     "pipeline_change_detect": q_pipeline_change_detect,
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "events_sessionize": q_events_sessionize,
@@ -449,16 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-ORACLES: dict[str, str] = {
-    "pipeline_sink_counts": _CTE + """
-SELECT CASE WHEN signal_type = 'quarantine' OR bad_tool THEN 'quarantine'
-            ELSE signal_type || 's' END AS sink,
-       count(*) AS n_rows,
-       count(DISTINCT conv_id) AS n_convs
-FROM classified
-GROUP BY 1
-""",
-    "pipeline_parse_logs": _CTE + """
+ORACLE_PARSE_LOGS = _CTE + """
 SELECT conv_id, turn_idx,
   CAST(nullif(regexp_extract(text, 'ts_us=([0-9]+)', 1), '') AS BIGINT) AS log_ts_us,
   nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
@@ -469,7 +563,19 @@ SELECT conv_id, turn_idx,
   CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT) AS code,
   (nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true') AS retry
 FROM classified WHERE signal_type = 'log'
+"""
+
+ORACLES: dict[str, str] = {
+    "pipeline_sink_counts": _CTE + """
+SELECT CASE WHEN signal_type = 'quarantine' OR bad_tool THEN 'quarantine'
+            ELSE signal_type || 's' END AS sink,
+       count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_convs
+FROM classified
+GROUP BY 1
 """,
+    "pipeline_parse_logs": ORACLE_PARSE_LOGS,
+    "pipeline_parse_logs_arrow": ORACLE_PARSE_LOGS,
     "pipeline_parse_metrics": _CTE + """
 SELECT conv_id, turn_idx,
   nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
@@ -547,6 +653,55 @@ FROM (
          lag(signal_type) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
   FROM classified
 )
+""",
+    "pipeline_roundtrip": duckdb_transcripts_cte() + """
+SELECT conv_id, turn_idx, role, text, tool FROM transcripts
+""",
+    "pipeline_obfuscate": _CTE + """
+SELECT conv_id, turn_idx,
+  substr(sha256(nullif(regexp_extract(text, ' msg="([^"]*)"', 1), '')), 1, 16) AS msg_token
+FROM classified WHERE signal_type = 'log'
+""",
+    "pipeline_schema_analyzer": duckdb_transcripts_cte() + """
+SELECT * FROM (
+  SELECT 'conv_id' AS "column", count(DISTINCT conv_id) AS n_distinct,
+    round(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+    CAST(min(conv_id) AS VARCHAR) AS min_value, CAST(max(conv_id) AS VARCHAR) AS max_value,
+    count(*) AS n_rows FROM transcripts
+  UNION ALL
+  SELECT 'turn_idx', count(DISTINCT turn_idx),
+    round(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6),
+    CAST(min(turn_idx) AS VARCHAR), CAST(max(turn_idx) AS VARCHAR), count(*) FROM transcripts
+  UNION ALL
+  SELECT 'role', count(DISTINCT role),
+    round(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6),
+    CAST(min(role) AS VARCHAR), CAST(max(role) AS VARCHAR), count(*) FROM transcripts
+  UNION ALL
+  SELECT 'text', count(DISTINCT text),
+    round(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6),
+    CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR), count(*) FROM transcripts
+  UNION ALL
+  SELECT 'tool', count(DISTINCT tool),
+    round(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6),
+    CAST(min(tool) AS VARCHAR), CAST(max(tool) AS VARCHAR), count(*) FROM transcripts
+)
+""",
+    "pipeline_weighted_split": duckdb_transcripts_cte() + """
+SELECT CASE WHEN substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 1) < '8' THEN 'exp-a'
+            WHEN substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 1) < 'd' THEN 'exp-b'
+            ELSE 'exp-c' END AS exporter,
+       count(*) AS n_rows, count(DISTINCT conv_id) AS n_convs
+FROM transcripts
+GROUP BY 1
+""",
+    "media_frame_sample": """
+WITH media AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 5 = 0 THEN 4 + (i % 13) ELSE 1 END AS n_frames
+  FROM range(0, 200) t(i)
+)
+SELECT media_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+FROM media
 """,
     "q1_lineitem_agg": """
 SELECT l_returnflag, l_linestatus,

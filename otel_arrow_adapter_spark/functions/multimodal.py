@@ -47,10 +47,16 @@ def synthesize_media(spark, n: int = 200, payload_bytes: int = 256) -> DataFrame
         F.col("id").alias("media_id"),
         F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
         F.struct(
-            F.when(F.col("id") % 3 == 0, F.lit("image/png")).otherwise(F.lit("image/jpeg")).alias("mime"),
+            F.when(F.col("id") % 5 == 0, F.lit("video/mp4"))
+            .when(F.col("id") % 3 == 0, F.lit("image/png"))
+            .otherwise(F.lit("image/jpeg"))
+            .alias("mime"),
             (F.lit(64) + (F.col("id") % 4) * 32).cast("int").alias("width"),
             (F.lit(64) + (F.col("id") % 3) * 32).cast("int").alias("height"),
-            (F.lit(1)).cast("int").alias("n_frames"),
+            # videos get a frame sequence; stills are single-frame
+            F.when(F.col("id") % 5 == 0, (F.lit(4) + (F.col("id") % 13)).cast("int"))
+            .otherwise(F.lit(1).cast("int"))
+            .alias("n_frames"),
         ).alias("meta"),
     )
 

@@ -124,6 +124,36 @@ def write_routed(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def weighted_split(
+    df: DataFrame,
+    weights: dict[str, int],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """R2: deterministic weighted traffic splitting (Envoy-style router,
+    /root/reference/collector/processor/experimentprocessor/router.go).
+
+    ``weights`` maps exporter-set name -> sixteenths of traffic (must sum
+    to 16). The bucket is the first hex digit of md5(key) — deterministic
+    (replayable routing, unlike the reference's RNG), uniform, and
+    engine-portable (DuckDB md5 == Spark md5, so the split is
+    oracle-checkable). Adds an ``exporter`` column; no shuffle."""
+    if sum(weights.values()) != 16:
+        raise ValueError("weights must sum to 16 (sixteenths of traffic)")
+    digit = F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])), 1, 1)
+    names = list(weights)
+    cum = 0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = digit < F.lit(_HEX[cum])
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("exporter", expr)
+
+
 def read_sinks(spark: SparkSession, out_dir: str, subdir: str = "routed") -> dict[str, DataFrame]:
     """Read the unified routed table back as per-sink typed views,
     re-deriving the logical-only columns (body struct, binary span ids)."""

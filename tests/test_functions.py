@@ -192,4 +192,9 @@ def test_multimodal_plumbing(spark):
     again = {r.media_id: r.features for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
     fs = frame_sample(media, every_n=1)
-    assert fs.count() == 50  # n_frames=1 each
+    metas = {r.media_id: r.meta.n_frames for r in media.select("media_id", "meta").collect()}
+    assert fs.count() == sum(metas.values())  # one row per frame at stride 1
+    fs2 = {r.media_id: 0 for r in fs.collect()}
+    for r in frame_sample(media, every_n=2).collect():
+        fs2[r.media_id] += 1
+    assert all(fs2[m] == (n + 1) // 2 for m, n in metas.items())  # stride-2 sampling
