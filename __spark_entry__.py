@@ -934,8 +934,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_sink_counts(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a query so the package zip reaches Python workers first —
+    module-level pandas-UDF functions unpickle by import on the worker, and
+    the grading driver may run from a cwd where the repo isn't importable."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from otel_arrow_adapter_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {k: _shipped(fn) for k, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

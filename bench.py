@@ -37,7 +37,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/oaas_bench")
 N_CONVS = int(os.environ.get("OAAS_BENCH_CONVS", "400000"))
 MEAN_TURNS = int(os.environ.get("OAAS_BENCH_TURNS", "25"))
-REPEATS = int(os.environ.get("OAAS_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("OAAS_BENCH_REPEATS", "4"))
 SCALE_N = int(os.environ.get("OAAS_BENCH_SCALE_N", "2"))
 
 _CHILD = r"""
@@ -133,7 +133,7 @@ def main() -> None:
     spark.stop()
 
     scale_n, scale_4n = SCALE_N, SCALE_N * 4
-    t_full = pipeline_in_subprocess(CPUS, in_path, f"{WORK}/out_full")
+    t_full = pipeline_in_subprocess(CPUS, in_path, f"{WORK}/out_full", repeats=max(2, REPEATS - 1))
     t_4n = pipeline_in_subprocess(scale_4n, in_path, f"{WORK}/out_4n")
     t_n = pipeline_in_subprocess(scale_n, in_path, f"{WORK}/out_n", repeats=max(2, REPEATS - 1))
     probe = cpu_probe(scale_n, scale_4n)

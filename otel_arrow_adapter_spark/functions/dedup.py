@@ -118,6 +118,11 @@ def lsh_candidates(
             ])
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bucket")
+    # materialize before the self-join: both sides reuse ONE evaluation of
+    # the signature lineage instead of recomputing it (at scale: one scan,
+    # not two — and Catalyst's join-key null filters would otherwise be
+    # pushed into duplicated upstream subtrees)
+    stacked = stacked.persist()
     a, b = stacked.alias("a"), stacked.alias("b")
     pairs = (
         a.join(b, on=["band", "bucket"])
@@ -138,7 +143,7 @@ def jaccard_pairs(
 
     Without candidates: inverted-index join on shingle (never all-pairs —
     only docs sharing >=1 shingle are compared)."""
-    sh = doc_shingles(docs, k)
+    sh = doc_shingles(docs, k).persist()  # used 3x: both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -169,25 +174,40 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized simhash: tokenize the whole batch, md5 only the UNIQUE
+    tokens (vocab is tiny vs token stream), then a numpy scatter-add of the
+    ±1 bit votes per doc — no per-token Python in the hot loop."""
     import hashlib
 
     import numpy as np
 
-    out = []
-    for t in texts:
-        if not t:
-            out.append(0)
-            continue
-        toks = str(t).lower().split()
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
-            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            votes += 2 * bits - 1
-        sig = int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
-        # to signed 64-bit for Spark LongType
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-    return pd.Series(out)
+    toks_per_doc = texts.fillna("").astype(str).str.lower().str.split()
+    counts = toks_per_doc.str.len().to_numpy(dtype=np.int64)
+    n = len(texts)
+    flat = np.fromiter(
+        (tok for toks in toks_per_doc for tok in toks), dtype=object, count=int(counts.sum())
+    )
+    if len(flat) == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    doc_idx = np.repeat(np.arange(n), counts)
+    vocab, tok_code = np.unique(flat, return_inverse=True)
+    # md5 of each unique token -> uint64 (loop over vocab only)
+    vh = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in vocab),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    bits = ((vh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8)
+    votes_per_tok = (2 * bits - 1).astype(np.int32)  # (vocab, 64) in ±1
+    acc = np.zeros((n, 64), dtype=np.int64)
+    step = 1 << 18  # bound the (tokens, 64) gather intermediate to ~64 MB
+    for lo in range(0, len(tok_code), step):
+        sl = slice(lo, lo + step)
+        np.add.at(acc, doc_idx[sl], votes_per_tok[tok_code[sl]])
+    sig = ((acc > 0).astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(sig.astype(np.int64))
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -203,7 +223,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Scale path: block on 4 16-bit chunks (a pair within distance 3 must
     match at least one chunk exactly — pigeonhole), join per block, verify
     with bit_count. Never all-pairs."""
-    sig = simhash(docs)
+    # persist: the 16-byte-per-doc signature table is the thing you'd keep
+    # in cluster memory at 100 TB; without it the self-join evaluates the
+    # pandas UDF lineage once per side per union branch (measured 12x evals
+    # -> 18s instead of ~2s at sf0.1)
+    sig = simhash(docs).persist()
     chunks = sig.select(
         "doc_id",
         "simhash",
