@@ -488,6 +488,21 @@ def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs(e, threshold=0.25, m=8)
 
 
+def q_pipeline_delta_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: delta encoding of sorted surrogate IDs + the maxDelta<=1
+    monotonicity invariant (the reference panics on violation as a sort-bug
+    detector, builder/uint.go:261-265; here it's an asserted column)."""
+    parsed = assign_surrogate_ids(_parsed(spark, sf_dir))
+    w = W.orderBy("res_id", "scope_id", "conv_id", "turn_idx")
+    delta = F.col("res_id") - F.coalesce(F.lag("res_id").over(w), F.lit(0))
+    enc = parsed.select("res_id", delta.alias("res_id_delta"))
+    return enc.groupBy("res_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("res_id_delta").alias("max_delta"),
+        F.sum("res_id_delta").alias("delta_sum"),
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: video frame sampling (explode over n_frames) on
     the deterministic synthetic media table; decode itself is stubbed (the
@@ -532,6 +547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_obfuscate": q_pipeline_obfuscate,
     "pipeline_schema_analyzer": q_pipeline_schema_analyzer,
     "pipeline_weighted_split": q_pipeline_weighted_split,
+    "pipeline_delta_ids": q_pipeline_delta_ids,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
     "pipeline_change_detect": q_pipeline_change_detect,
@@ -693,6 +709,21 @@ SELECT CASE WHEN substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 1) 
        count(*) AS n_rows, count(DISTINCT conv_id) AS n_convs
 FROM transcripts
 GROUP BY 1
+""",
+    "pipeline_delta_ids": _CTE + """
+, ids AS (
+  SELECT conv_id, turn_idx,
+    dense_rank() OVER (ORDER BY tool ASC NULLS FIRST) AS res_id,
+    dense_rank() OVER (ORDER BY role ASC NULLS FIRST) AS scope_id
+  FROM classified
+), enc AS (
+  SELECT res_id,
+    res_id - coalesce(lag(res_id) OVER (ORDER BY res_id, scope_id, conv_id, turn_idx), 0) AS res_id_delta
+  FROM ids
+)
+SELECT res_id, count(*) AS n_rows, max(res_id_delta) AS max_delta,
+       CAST(sum(res_id_delta) AS BIGINT) AS delta_sum
+FROM enc GROUP BY res_id
 """,
     "media_frame_sample": """
 WITH media AS (

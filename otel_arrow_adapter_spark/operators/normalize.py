@@ -47,7 +47,19 @@ def assign_surrogate_ids(
                 ).cast("long"),
             )
         )
-        out = out.join(F.broadcast(dim), on=list(cols), how="left")
+        # null-safe join keys: the null dim value IS a resource (the
+        # reference hashes the empty resource to a real ID, ids.go) — a
+        # plain equi-join would leave its rows without a surrogate.
+        dim = dim.select(
+            *[F.col(c).alias(f"__dim_{c}") for c in cols], id_name
+        )
+        cond = None
+        for c in cols:
+            e = F.col(c).eqNullSafe(F.col(f"__dim_{c}"))
+            cond = e if cond is None else cond & e
+        out = out.join(F.broadcast(dim), on=cond, how="left").drop(
+            *[f"__dim_{c}" for c in cols]
+        )
     return out
 
 
