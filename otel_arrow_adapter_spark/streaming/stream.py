@@ -83,3 +83,69 @@ def start_routed_stream(
         .outputMode("append")
         .start()
     )
+
+
+STATE_SCHEMA = "n_turns long, n_quarantine long, last_signal string, n_segments long"
+STATS_SCHEMA = (
+    "conv_id string, n_turns long, n_quarantine long, n_segments long, last_signal string"
+)
+
+
+def conversation_stats_stateful(labeled: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-conversation
+    running stats carried ACROSS micro-batches — the streaming form of the
+    reference's running decode state (``lastID += delta`` held per stream,
+    /root/reference/pkg/otel/common/otlp/attributes.go:98-104) and its
+    per-stream ProducerStats counters (pkg/otel/stats/stats.go:26-61).
+
+    State per conv_id: turn count, quarantine count, last signal_type and
+    signal-segment count (W3 change detection, stateful). Emits the updated
+    row per conversation per micro-batch. Pass ``timeout_minutes`` in
+    production so state expires after processing-time inactivity (bounded
+    state — the 10^12-turn requirement: memory scales with ACTIVE
+    conversations only); the default NoTimeout keeps batch-style runs
+    (processAllAvailable) from spinning timeout-only micro-batches forever.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, n_quar, last_sig, n_seg = (
+            state.get if state.exists else (0, 0, None, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            n_turns += len(pdf)
+            n_quar += int((pdf["sink"] == "quarantine").sum())
+            for sig in pdf["signal_type"]:
+                if sig != last_sig:
+                    n_seg += 1
+                    last_sig = sig
+        state.update((n_turns, n_quar, last_sig, n_seg))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_quarantine": [n_quar],
+                "n_segments": [n_seg],
+                "last_signal": [last_sig],
+            }
+        )
+
+    return (
+        labeled.select("conv_id", "turn_idx", "signal_type", "sink")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=STATS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

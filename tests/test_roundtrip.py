@@ -79,3 +79,64 @@ def test_corrupt_rows_quarantined_not_crashed(spark, small_catalog, tmp_path):
     counts = run_pipeline(spark, df, small_catalog, out, run_id="chaos")
     total = {r["sink"]: r["n_rows"] for r in counts.collect()}
     assert total["quarantine"] == 4
+
+
+def test_salted_repartition_same_result(spark, synth_transcripts, small_catalog, tmp_path):
+    """north_rule skew handling: salted repartition on (conv_id, salt) must
+    not change any result — ordering is restored by windows within conv_id,
+    never assumed from partition layout."""
+    from otel_arrow_adapter_spark.plans import build_labeled
+
+    plain = build_labeled(synth_transcripts, small_catalog).select(
+        "conv_id", "turn_idx", "sink", "text"
+    )
+    salted = build_labeled(synth_transcripts, small_catalog, salt_buckets=8).select(
+        "conv_id", "turn_idx", "sink", "text"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # and the salted plan actually fans a hot conversation across tasks
+    hot = synth_transcripts.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    n_parts = (
+        synth_transcripts.where(F.col("conv_id") == hot["conv_id"])
+        # explicit numPartitions: AQE would coalesce this tiny fixture into
+        # one partition and hide the fan-out we're asserting
+        .repartition(8, F.col("conv_id"), F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(8)))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1
+
+
+def test_decode_chaos_quarantines_not_crashes(spark, transcripts, small_catalog, tmp_path):
+    """MixUpArrowRecords analog (reference test_utils.go:28): corrupt rows
+    injected into the routed sinks must land in decode-quarantine, never
+    raise, and the remaining rows must still reconstruct."""
+    from otel_arrow_adapter_spark.operators.reconstruct import validate_sinks
+
+    out = str(tmp_path / "out_chaos")
+    run_pipeline(spark, transcripts, small_catalog, out, run_id="chaos")
+    sinks = pipeline_sinks(spark, out)
+    # corrupt: truncate span ids on some trace rows, blow severity on logs
+    traces = sinks["traces"].withColumn(
+        "span_hex",
+        F.when(F.col("turn_idx") % 7 == 0, F.substring("span_hex", 1, 6)).otherwise(
+            F.col("span_hex")
+        ),
+    )
+    logs = sinks["logs"].withColumn(
+        "severity_number",
+        F.when(F.col("turn_idx") % 11 == 0, F.lit(99)).otherwise(F.col("severity_number")),
+    )
+    chaotic = {**sinks, "traces": traces, "logs": logs}
+    valid, dq = validate_sinks(chaotic)
+    bad = {r["sink"]: r["cnt"] for r in dq.groupBy("sink").agg(F.count("*").alias("cnt")).collect()}
+    assert bad.get("traces", 0) > 0 and bad.get("logs", 0) > 0
+    errs = {r["decode_error"] for r in dq.select("decode_error").distinct().collect()}
+    assert errs == {"bad_span_id_length", "severity_out_of_range"}
+    # valid + quarantined partitions each sink exactly
+    for name in ("traces", "logs"):
+        assert valid[name].count() + bad[name] == chaotic[name].count()
+    # untouched sinks still reconstruct verbatim
+    assert valid["metrics"].count() == sinks["metrics"].count()

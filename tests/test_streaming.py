@@ -49,3 +49,26 @@ def test_stream_windowed_counts(spark, transcripts, tmp_path):
     q.stop()
     got = spark.sql("select sum(n_rows) as n from wc").collect()[0].n
     assert got == transcripts.count()
+
+
+def test_stream_stateful_conversation_stats(spark, transcripts, small_catalog, tmp_path):
+    """applyInPandasWithState: running per-conversation state survives
+    micro-batch boundaries (maxFilesPerTrigger=1 forces several batches)."""
+    from otel_arrow_adapter_spark.streaming.stream import conversation_stats_stateful
+
+    src = str(tmp_path / "src3")
+    transcripts.repartition(4).write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files=1)
+    stats = conversation_stats_stateful(build_stream(stream, small_catalog))
+    q = stats.writeStream.format("memory").queryName("cs").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    # last update per conversation = the complete stats
+    final = spark.sql(
+        """SELECT conv_id, max_by(n_turns, n_turns) AS n_turns FROM cs GROUP BY conv_id"""
+    )
+    expect = transcripts.groupBy("conv_id").count()
+    joined = final.join(expect, "conv_id")
+    bad = joined.where(F.col("n_turns") != F.col("count")).count()
+    assert bad == 0
+    assert final.count() == expect.count()
