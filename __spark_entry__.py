@@ -503,6 +503,22 @@ def q_pipeline_delta_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: benchmark-style summary stats — exact percentiles per group
+    (the reference's profiler reports mean/p50-p99,
+    pkg/benchmark/profiler.go:254-269). percentile_approx is the 10^12-row
+    path; exact percentile here so the DuckDB oracle matches bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(pct.getItem(0), 6).alias("p50"),
+        F.round(pct.getItem(1), 6).alias("p95"),
+        F.round(pct.getItem(2), 6).alias("p99"),
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: video frame sampling (explode over n_frames) on
     the deterministic synthetic media table; decode itself is stubbed (the
@@ -553,6 +569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_change_detect": q_pipeline_change_detect,
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "events_sessionize": q_events_sessionize,
+    "events_latency_quantiles": q_events_latency_quantiles,
     "doc_token_count": q_doc_token_count,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -760,6 +777,14 @@ WITH g AS (
 )
 SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
+""",
+    "events_latency_quantiles": """
+SELECT event_type, count(*) AS n,
+  round(avg(value), 6) AS mean_value,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
 """,
     "doc_token_count": """
 SELECT doc_id,

@@ -77,3 +77,20 @@ def test_melt_shape_and_union_invariant(spark, transcripts):
     assert attrs.where((F.col("type") == ATTR_BOOL) & F.col("bool").isNull()).count() == 0
     # no empty keys (attributes.go:237-239 skip-empty semantics)
     assert attrs.where(F.col("key") == "").count() == 0
+
+
+def test_capture_roundtrip_json_compressed(spark, transcripts, tmp_path):
+    """S6/S7: capture as zstd JSON lines, replay, per-turn equality."""
+    from otel_arrow_adapter_spark.sources.readers import read_capture, write_capture
+
+    path = str(tmp_path / "capture")
+    write_capture(transcripts, path, fmt="json")
+    import glob
+    assert glob.glob(f"{path}/*.gz"), "capture files not compressed"
+    back = read_capture(
+        spark, path,
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    ).select("conv_id", "turn_idx", "role", "text", "tool")
+    orig = transcripts.select("conv_id", "turn_idx", "role", "text", "tool")
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
