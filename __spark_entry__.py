@@ -187,22 +187,26 @@ def q_pipeline_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_dict_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: dictionary table for the tool column (sorted codes)."""
+    from otel_arrow_adapter_spark.operators.normalize import ranked_dim
+
     t = _transcripts(spark, sf_dir)
-    return (
-        t.select("tool")
-        .where(F.col("tool").isNotNull())
-        .distinct()
-        .withColumn("tool_code", (F.dense_rank().over(W.orderBy("tool")) - 1).cast("int"))
+    # windowless rank over the distinct tool set (O(#tools))
+    return ranked_dim(
+        t.where(F.col("tool").isNotNull()), ("tool",), "tool_code", id_type="int", start=0
     )
 
 
 def q_pipeline_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: parent-id delta-group encoding over the melted attrs."""
+    """E2: parent-id delta-group encoding over the melted attrs.
+
+    n_buckets=16 scopes window state to (key, bucket) — the batch analog —
+    so no single task ever owns a whole attribute key (~6 keys would mean
+    <=6 window tasks for 10^12 rows otherwise)."""
     attrs = melt_attributes(_parsed(spark, sf_dir)).withColumn(
         "parent_id",
         (F.pmod(F.xxhash64("conv_id"), F.lit(100000)) * 1000 + F.col("turn_idx")).cast("long"),
     )
-    enc = delta_encode_parent_ids(with_encode_order(attrs))
+    enc = delta_encode_parent_ids(with_encode_order(attrs, n_buckets=16), n_buckets=16)
     # aggregate (stable surface): per key, #groups and delta checksum
     return enc.groupBy("key").agg(
         F.sum(F.col("group_start").cast("long")).alias("n_groups"),
@@ -220,7 +224,12 @@ def q_pipeline_route_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2-style analytics: per (severity, retry) counts over parsed logs."""
+    """A2-style analytics: per (severity, retry) counts over parsed logs.
+
+    The mean is computed as exact-integer sum / count (ONE deterministic
+    double division) instead of F.avg: avg accumulates doubles in
+    partition-arrival order, which diverges from the oracle's accumulation
+    order by half an ulp at round() boundaries."""
     return (
         _parsed(spark, sf_dir)
         .where(F.col("signal_type") == "log")
@@ -228,9 +237,8 @@ def q_pipeline_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("retry"), 1).otherwise(0)).alias("n_retry"),
-            F.avg("code").alias("avg_code"),
+            F.round(F.sum("code") / F.count("code"), 4).alias("avg_code"),
         )
-        .withColumn("avg_code", F.round("avg_code", 4))
     )
 
 
@@ -491,15 +499,29 @@ def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_delta_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: delta encoding of sorted surrogate IDs + the maxDelta<=1
     monotonicity invariant (the reference panics on violation as a sort-bug
-    detector, builder/uint.go:261-265; here it's an asserted column)."""
+    detector, builder/uint.go:261-265; here it's an asserted column).
+
+    Two-phase so no window ever sees the fact table in one partition:
+    within a res_id run (the table sorted by res_id first) every
+    consecutive delta is 0 by construction, so only the run-head delta is
+    informative — phase 1 is a distributed groupBy(res_id); phase 2 runs
+    the lag window over the aggregated dimension table (O(#resources)
+    rows, never O(turns))."""
     parsed = assign_surrogate_ids(_parsed(spark, sf_dir))
-    w = W.orderBy("res_id", "scope_id", "conv_id", "turn_idx")
-    delta = F.col("res_id") - F.coalesce(F.lag("res_id").over(w), F.lit(0))
-    enc = parsed.select("res_id", delta.alias("res_id_delta"))
-    return enc.groupBy("res_id").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.max("res_id_delta").alias("max_delta"),
-        F.sum("res_id_delta").alias("delta_sum"),
+    per_res = parsed.groupBy("res_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    # phase 2 runs windowlessly on the aggregated dimension (O(#resources)):
+    # sorted array + posexplode, prev id = arr[pos-1]
+    agg = per_res.agg(F.sort_array(F.collect_list(F.struct("res_id", "n_rows"))).alias("_v"))
+    exploded = agg.select(F.posexplode("_v").alias("_pos", "_s"), F.col("_v"))
+    prev = F.when(F.col("_pos") > 0, F.col("_v")[F.col("_pos") - 1]["res_id"]).otherwise(F.lit(0))
+    head_delta = F.col("_s.res_id") - prev
+    return exploded.select(
+        F.col("_s.res_id").alias("res_id"),
+        F.col("_s.n_rows").alias("n_rows"),
+        # in-run deltas are all 0 and head_delta >= 1 (dense ascending ids),
+        # so the run's max/sum of deltas both equal the head delta
+        head_delta.alias("max_delta"),
+        head_delta.alias("delta_sum"),
     )
 
 
@@ -672,7 +694,8 @@ SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
        count(*) AS n,
        sum(CASE WHEN nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true'
                 THEN 1 ELSE 0 END) AS n_retry,
-       round(avg(CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT)), 4) AS avg_code
+       round(CAST(sum(CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT)) AS DOUBLE)
+             / count(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '')), 4) AS avg_code
 FROM classified WHERE signal_type = 'log'
 GROUP BY 1
 """,

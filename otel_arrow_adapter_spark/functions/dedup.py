@@ -142,8 +142,25 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for all (or candidate) pairs.
 
     Without candidates: inverted-index join on shingle (never all-pairs —
-    only docs sharing >=1 shingle are compared)."""
-    sh = doc_shingles(docs, k).persist()  # used 3x: both join sides + sizes
+    only docs sharing >=1 shingle are compared).
+
+    With candidates: the shingle table is LEFT-SEMI-joined to the candidate
+    doc-id set BEFORE the inverted-index self-join, so the self-join only
+    ever compares candidate docs — Catalyst cannot push the pair filter
+    below the groupBy aggregate on its own, and without the semi-join hot
+    shingles explode quadratically at scale. The exact candidate-PAIR
+    filter still applies after the aggregate (two candidate docs are not
+    necessarily a candidate pair)."""
+    sh = doc_shingles(docs, k)
+    if candidates is not None:
+        candidates = candidates.persist()  # used 2x: doc-id set + pair filter
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, on="doc_id", how="left_semi")
+    sh = sh.persist()  # used 3x: both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

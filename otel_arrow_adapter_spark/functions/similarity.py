@@ -54,11 +54,23 @@ def cosine_topk(
             F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # orderBy+limit compiles to TakeOrderedAndProject — distributed partial
+    # top-k per partition, k rows to the driver — instead of a global
+    # single-partition row_number window over all n scores. Rank is then
+    # assigned windowlessly on the k survivors (collect+sort+posexplode of
+    # an O(k) array): no WindowExec at all in the plan.
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("cos_sim")).alias("_neg"), "vec_id", "cos_sim"))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "cos_sim", "rank")
+        top.agg(arr.alias("_v"))
+        .select(F.posexplode("_v").alias("_pos", "_s"))
+        .select(
+            F.col("_s.vec_id").alias("vec_id"),
+            F.col("_s.cos_sim").alias("cos_sim"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 

@@ -17,9 +17,14 @@ window functions so they distribute:
   same semantics (smallest index type that fits, plain-value fallback past
   the limit) without the rebuild loop.
 
-Scale notes: windows are partitioned by ``key`` (E2) — attribute keys hash
-across executors; within one key the order is (value, parent_id), matching
-the reference's default Attrs16 sort-by-(key,value,parentID)
+Scale notes: E2 windows are partitioned by (``key``, ``enc_bucket``) —
+``n_buckets > 0`` hash-buckets parent ids so the window state never funnels
+one attribute key's 10^12 rows into a single task; each (key, bucket) scope
+is the analog of one reference batch (the reference resets its accumulator
+state per batch too, attributes.go:266-269), and encode∘decode == id holds
+per scope. ``n_buckets = 0`` is the single-batch semantics used by the
+maxDelta-invariant tests. Within one scope the order is (value, parent_id),
+matching the reference's default Attrs16 sort-by-(key,value,parentID)
 (attributes_16.go:274-449). Dictionary build is distinct+broadcast — at
 10^12 rows the distinct agg is map-side-combined and tiny on the wire for
 dictionary-worthy (low-cardinality) columns.
@@ -35,19 +40,27 @@ from pyspark.sql import functions as F
 GROUP_COLS = ("key", "type", "str", "int", "double", "bool")
 
 
-def _same_group(cols) -> "F.Column":
-    w = Window.partitionBy("key").orderBy(
-        *[F.col(c).asc_nulls_first() for c in cols if c != "key"], "parent_id"
+def _with_bucket(attrs: DataFrame, n_buckets: int) -> DataFrame:
+    """Add the batch-analog scope column (idempotent)."""
+    if "enc_bucket" in attrs.columns:
+        return attrs
+    b = (
+        F.pmod(F.xxhash64("parent_id"), F.lit(n_buckets)).cast("int")
+        if n_buckets > 0
+        else F.lit(0).cast("int")
     )
-    same = F.lit(True)
-    for c in cols:
-        if c == "key":
-            continue
-        same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
-    return same, w
+    return attrs.withColumn("enc_bucket", b)
 
 
-def delta_encode_parent_ids(attrs: DataFrame, group_cols=GROUP_COLS) -> DataFrame:
+def _scope_window(group_cols, order_tail: str) -> Window:
+    return Window.partitionBy("key", "enc_bucket").orderBy(
+        *[F.col(c).asc_nulls_first() for c in group_cols if c != "key"], order_tail
+    )
+
+
+def delta_encode_parent_ids(
+    attrs: DataFrame, group_cols=GROUP_COLS, n_buckets: int = 0
+) -> DataFrame:
     """attrs(parent_id, key, value cols) -> + parent_id_delta, group_start.
 
     Encoding contract (attributes_16.go:348-366): first row of a
@@ -57,7 +70,13 @@ def delta_encode_parent_ids(attrs: DataFrame, group_cols=GROUP_COLS) -> DataFram
     per-group parents, so we assert non-negativity (sort-bug detector)
     rather than <=1.
     """
-    same, w = _same_group(group_cols)
+    attrs = _with_bucket(attrs, n_buckets)
+    w = _scope_window(group_cols, "parent_id")
+    same = F.lit(True)
+    for c in group_cols:
+        if c == "key":
+            continue
+        same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
     prev = F.lag("parent_id").over(w)
     out = attrs.withColumn("group_start", ~F.coalesce(same, F.lit(False))).withColumn(
         "parent_id_delta",
@@ -74,35 +93,30 @@ def delta_decode_parent_ids(encoded: DataFrame, group_cols=GROUP_COLS) -> DataFr
     windowed computation: within each (key, value-group) segment ordered as
     encoded, parent_id = raw start + cumulative sum of deltas — i.e. a
     running sum of parent_id_delta segmented by group_start markers.
+    Requires the encode-time ``enc_bucket`` + ``enc_order`` columns (state
+    is scoped exactly as it was at encode time).
     """
-    # Re-establish the encode order: group start rows carry raw ids; we
-    # order by (value cols, parent_id_delta cumulative). We persist an
-    # explicit row order at encode time instead of guessing: decode requires
-    # the same ordering columns to be present.
-    w = Window.partitionBy("key").orderBy(
-        *[F.col(c).asc_nulls_first() for c in group_cols if c != "key"], "enc_order"
-    )
+    w = _scope_window(group_cols, "enc_order")
     seg = F.sum(F.col("group_start").cast("long")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tmp = encoded.withColumn("_seg", seg)
-    w2 = Window.partitionBy("key", "_seg").orderBy("enc_order")
+    w2 = Window.partitionBy("key", "enc_bucket", "_seg").orderBy("enc_order")
     return tmp.withColumn(
         "parent_id",
         F.sum("parent_id_delta").over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     ).drop("_seg")
 
 
-def with_encode_order(attrs: DataFrame, group_cols=GROUP_COLS) -> DataFrame:
-    """Materialize the encode-time row order (per key) so decode is exact.
+def with_encode_order(attrs: DataFrame, group_cols=GROUP_COLS, n_buckets: int = 0) -> DataFrame:
+    """Materialize the encode-time row order (per scope) so decode is exact.
 
     The reference relies on physical record order inside one Arrow batch;
     a distributed table has no physical order, so the order becomes an
-    explicit column — one row_number per key partition.
+    explicit column — one row_number per (key, enc_bucket) scope.
     """
-    w = Window.partitionBy("key").orderBy(
-        *[F.col(c).asc_nulls_first() for c in group_cols if c != "key"], "parent_id"
-    )
+    attrs = _with_bucket(attrs, n_buckets)
+    w = _scope_window(group_cols, "parent_id")
     return attrs.withColumn("enc_order", F.row_number().over(w))
 
 
@@ -136,15 +150,16 @@ def dict_encode_column(
     returns the input unchanged with dict_df=None — the plain-value
     fallback of dictionary.go:189-216.
     """
+    from .normalize import ranked_dim
+
     distinct = df.select(col).where(F.col(col).isNotNull()).distinct()
     card = distinct.count()
     itype = _index_type(card, max_card)
     if itype is None:
         return df, None, None
-    dict_df = distinct.withColumn(
-        f"{col}_code",
-        (F.dense_rank().over(Window.orderBy(col)) - 1).cast(itype),
-    )
+    # windowless rank (collect+sort_array+posexplode over the distinct set,
+    # dictionary-small by definition) — no single-partition window
+    dict_df = ranked_dim(distinct, (col,), f"{col}_code", id_type=itype, start=0)
     encoded = df.join(F.broadcast(dict_df), on=col, how="left").drop(col)
     return encoded, dict_df, itype
 

@@ -21,6 +21,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ranked_dim(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    id_name: str,
+    id_type: str = "long",
+    start: int = 1,
+) -> DataFrame:
+    """Global dense rank over a DISTINCT dimension, windowless.
+
+    collect_list(struct) -> sort_array -> posexplode: one reduce of an
+    O(dims) array instead of a single-partition window (Spark strips
+    foldable partition keys, so a window here always funnels through one
+    task AND warns). Struct comparison sorts null fields first — matching
+    the oracles' ``ORDER BY ... ASC NULLS FIRST``. Only for
+    dictionary-small inputs: the sorted array lives in one task."""
+    dim = df.select(*cols).distinct()
+    arr = F.sort_array(F.collect_list(F.struct(*cols)))
+    return (
+        dim.agg(arr.alias("_vals"))
+        .select(F.posexplode("_vals").alias("_pos", "_s"))
+        .select(
+            *[F.col(f"_s.{c}").alias(c) for c in cols],
+            (F.col("_pos") + F.lit(start)).cast(id_type).alias(id_name),
+        )
+    )
+
+
 def assign_surrogate_ids(
     df: DataFrame,
     resource_cols: tuple[str, ...] = ("tool",),
@@ -37,16 +64,7 @@ def assign_surrogate_ids(
 
     out = df
     for id_name, cols in (("res_id", resource_cols), ("scope_id", scope_cols)):
-        dim = (
-            df.select(*cols)
-            .distinct()
-            .withColumn(
-                id_name,
-                F.dense_rank().over(
-                    Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
-                ).cast("long"),
-            )
-        )
+        dim = ranked_dim(df, cols, id_name)
         # null-safe join keys: the null dim value IS a resource (the
         # reference hashes the empty resource to a real ID, ids.go) — a
         # plain equi-join would leave its rows without a surrogate.

@@ -42,12 +42,57 @@ _SINK_FIELDS = {
     "quarantine": ["error"],
 }
 
-SINK_SORT_KEYS = {
-    "logs": ["res_id", "scope_id", "conv_id", "turn_idx"],
-    "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
-    "traces": ["res_id", "scope_id", "ts", "span_hex"],
-    "quarantine": ["conv_id", "turn_idx"],
+# O1-O3 sort-for-compression strategy plurality: the reference ships 6 span
+# sorters and 2 metric sorters and records measured ratios in comments
+# (/root/reference/pkg/otel/traces/arrow/optimizer.go:60-67,
+# /root/reference/pkg/otel/metrics/arrow/config.go:92-101). Two measured
+# strategies here; bench.py writes the output-bytes-per-strategy table into
+# BENCH/BASELINE.md (the reference's measured-ratio discipline).
+SORT_STRATEGIES = {
+    # resource-first: the reference defaults (res, scope, ...)
+    "default": {
+        "logs": ["res_id", "scope_id", "conv_id", "turn_idx"],
+        "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
+        "traces": ["res_id", "scope_id", "ts", "span_hex"],
+        "quarantine": ["conv_id", "turn_idx"],
+    },
+    # name/time-first: the alternative metric sorter (type, name, res, scope)
+    # and the startTimestamp-first span sorter
+    "name_first": {
+        "logs": ["severity_text", "res_id", "conv_id", "turn_idx"],
+        "metrics": ["metric_name", "metric_unit", "res_id", "conv_id", "turn_idx"],
+        "traces": ["ts", "span_hex"],
+        "quarantine": ["conv_id", "turn_idx"],
+    },
 }
+SINK_SORT_KEYS = SORT_STRATEGIES["default"]
+
+
+def sink_sort_exprs(df: DataFrame, strategy: dict[str, list[str]]) -> list[Column]:
+    """One unified sortWithinPartitions key list that applies each sink's
+    OWN sort inside the single dynamic-partition write: position i is a
+    CASE over sink of that sink's i-th key. Numeric keys are zero-padded so
+    string ordering preserves numeric order (ids/indices are non-negative);
+    a per-sink branch would mean per-sink passes — this keeps one pass."""
+    types = dict(df.dtypes)
+
+    def as_sortable(name: str) -> Column:
+        c = F.col(name).cast("string")
+        if types.get(name) in ("tinyint", "smallint", "int", "bigint"):
+            return F.lpad(c, 20, "0")
+        return c
+
+    exprs: list[Column] = [F.col("sink")]
+    for i in range(max(len(v) for v in strategy.values())):
+        e = None
+        for sink, keys in strategy.items():
+            if i < len(keys):
+                cond = F.col("sink") == sink
+                e = F.when(cond, as_sortable(keys[i])) if e is None else e.when(
+                    cond, as_sortable(keys[i])
+                )
+        exprs.append(e)
+    return exprs
 
 
 def sink_label() -> Column:
@@ -107,16 +152,22 @@ _DERIVED = ("body", "signal_type", "tool_known", "resource_attrs", "span_id", "p
 
 
 def write_routed(
-    labeled: DataFrame, out_dir: str, mode: str = "overwrite", subdir: str = "routed"
+    labeled: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    subdir: str = "routed",
+    sort_strategy: str = "default",
 ) -> None:
     """One sorted dynamic-partition write for all sinks (S3 analog:
-    IPC+ZSTD+dict-deltas -> Parquet dictionary pages + zstd). Iceberg is the
-    production target (partitioned bucket(conv_id)/days(ts) inside each
-    sink); the sandbox image lacks the runtime jar, so partitioned parquet
-    carries the same layout semantics."""
+    IPC+ZSTD+dict-deltas -> Parquet dictionary pages + zstd). Each sink
+    gets its own sort keys (``SORT_STRATEGIES[sort_strategy]``) inside the
+    single pass. Iceberg is the production target (partitioned
+    bucket(conv_id)/days(ts) inside each sink); the sandbox image lacks the
+    runtime jar, so partitioned parquet carries the same layout semantics."""
     slim = labeled.drop(*_DERIVED)
+    sort_cols = sink_sort_exprs(slim, SORT_STRATEGIES[sort_strategy])
     (
-        slim.sortWithinPartitions("sink", "res_id", "scope_id", "conv_id", "turn_idx")
+        slim.sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .option("compression", "zstd")
         .partitionBy("sink")

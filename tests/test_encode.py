@@ -91,3 +91,20 @@ def test_dict_widen(spark):
     enc, dict_df, itype = dict_encode_column(df, "val", max_card=1 << 20)
     assert itype == "bigint"
     assert dict_df.count() == 70000
+
+
+def test_delta_group_roundtrip_bucketed(spark, attrs):
+    """Scale path: window state scoped per (key, enc_bucket) — the analog of
+    the reference's per-batch accumulator reset (attributes.go:266-269).
+    encode . decode == identity must hold under bucketing, and the scopes
+    must actually fan out beyond one-per-key."""
+    enc = delta_encode_parent_ids(with_encode_order(attrs, n_buckets=8), n_buckets=8)
+    assert enc.where(~F.col("group_start") & (F.col("parent_id_delta") < 0)).count() == 0
+    dec = delta_decode_parent_ids(enc.drop("parent_id"))
+    cols = ["key", "type", "str", "int", "double", "bool", "parent_id"]
+    a, b = attrs.select(*cols), dec.select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    n_scopes = enc.select("key", "enc_bucket").distinct().count()
+    n_keys = enc.select("key").distinct().count()
+    assert n_scopes > n_keys

@@ -198,3 +198,30 @@ def test_multimodal_plumbing(spark):
     for r in frame_sample(media, every_n=2).collect():
         fs2[r.media_id] += 1
     assert all(fs2[m] == (n + 1) // 2 for m, n in metas.items())  # stride-2 sampling
+
+
+def test_jaccard_candidates_bound_the_join(spark, docs_with_dups):
+    """The candidate set must bound the inverted-index self-join BEFORE it
+    runs (left-semi to the candidate doc ids), not just filter pairs after
+    the aggregate — and results must equal the unbounded path intersected
+    with the candidate pairs."""
+    sig = minhash_signature(docs_with_dups, num_hashes=8)
+    cand = lsh_candidates(sig, num_hashes=8, bands=4)
+    out = jaccard_pairs(docs_with_dups, threshold=0.5, candidates=cand)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()}
+    unbounded = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    cand_set = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert got == {t for t in unbounded if (t[0], t[1]) in cand_set}
+
+
+def test_cosine_topk_distributed_plan(spark, emb):
+    """Top-k must compile to a distributed partial top-k (TakeOrdered /
+    Limit), never a single-partition global row_number window over n rows."""
+    top = cosine_topk(emb, query_vec_id=0, k=5)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
