@@ -30,6 +30,7 @@ from otel_arrow_adapter_spark.operators import (  # noqa: E402
     parse_turns,
     route_signals,
 )
+from otel_arrow_adapter_spark.operators.parse import SEVERITY_NUMBER  # noqa: E402
 from otel_arrow_adapter_spark.operators.enrich import enrich_with_catalog  # noqa: E402
 from otel_arrow_adapter_spark.operators.encode import (  # noqa: E402
     delta_encode_parent_ids,
@@ -134,6 +135,34 @@ def q_pipeline_parse_logs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code",
             "retry",
         )
+    )
+
+
+def q_pipeline_parse_logs_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6 via the grok fallback (pandas-UDF named-macro parse) — third
+    physical path, same oracle as the JVM and Arrow parses."""
+    from otel_arrow_adapter_spark.functions.grok import grok_parse
+
+    t = _transcripts(spark, sf_dir)
+    logs = t.where(F.col("text").rlike(r"^ts_us=[0-9]+ level="))
+    pat = (
+        r'ts_us=%{POSINT:log_ts_us} level=%{LOGLEVEL:severity_text}'
+        r'(?: msg="%{DATA:msg}")?(?: code=%{POSINT:code})?(?: retry=%{BOOL:retry})?$'
+    )
+    parsed = grok_parse(logs, pat)
+    sev_num = F.element_at(
+        F.create_map(*[y for k, v in SEVERITY_NUMBER.items() for y in (F.lit(k), F.lit(v))]),
+        F.col("severity_text"),
+    )
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        F.col("log_ts_us").try_cast("long").alias("log_ts_us"),
+        "severity_text",
+        sev_num.cast("int").alias("severity_number"),
+        "msg",
+        F.col("code").try_cast("long").alias("code"),
+        (F.col("retry") == "true").alias("retry"),
     )
 
 
@@ -572,6 +601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "pipeline_parse_logs": q_pipeline_parse_logs,
     "pipeline_parse_logs_arrow": q_pipeline_parse_logs_arrow,
+    "pipeline_parse_logs_grok": q_pipeline_parse_logs_grok,
     "pipeline_parse_metrics": q_pipeline_parse_metrics,
     "pipeline_parse_traces": q_pipeline_parse_traces,
     "pipeline_enrich_services": q_pipeline_enrich_services,
@@ -631,6 +661,7 @@ GROUP BY 1
 """,
     "pipeline_parse_logs": ORACLE_PARSE_LOGS,
     "pipeline_parse_logs_arrow": ORACLE_PARSE_LOGS,
+    "pipeline_parse_logs_grok": ORACLE_PARSE_LOGS,
     "pipeline_parse_metrics": _CTE + """
 SELECT conv_id, turn_idx,
   nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,

@@ -24,6 +24,15 @@ runs ANSI mode, and a malformed value must quarantine, never raise
 (error-not-crash, /root/reference/pkg/otel/logs/otlp/logs.go:145-154).
 A pandas-UDF grok fallback lives in functions/grok.py for grammars that
 need real Python.
+
+Field-value grammar parity: every token value is gated through the SAME
+value pattern the oracles use (prefix extraction — oracle
+`' parent=([0-9a-f]{8})'` on `parent=zzz` yields null and on
+`parent=0123456789` yields the 8-char prefix; the gated tokenizer
+reproduces both). The three paths (JVM tokenizer, Arrow per-field RE2,
+DuckDB oracle) agree on any input where each key occurs at most once
+outside the quoted msg — the grammar's invariant; inputs violating it
+differ only in which occurrence wins (documented, not generated).
 """
 
 from __future__ import annotations
@@ -91,6 +100,31 @@ def _field(kv: Column, key: str) -> Column:
     return F.try_element_at(F.filter(kv, lambda p: p["k"] == key), F.lit(1))["v"]
 
 
+# Per-field VALUE grammars — the capture bodies of the oracle regexes above.
+# Gating token values through these (as prefix extraction) makes the
+# tokenizer path agree with the oracles' regexp_extract on out-of-grammar
+# values ('parent=zzz' -> null, 'unit=mS' -> 'm', 'retry=truex' -> 'true').
+FIELD_VALUE_GRAMMAR = {
+    "ts_us": r"[0-9]+",
+    "level": r"[A-Z]+",
+    "code": r"[0-9]+",
+    "retry": r"true|false",
+    "name": r"[a-z_]+",
+    "value": r"-?[0-9]+",
+    "unit": r"[a-z%]+",
+    "span": r"[0-9a-f]{16}",
+    "parent": r"[0-9a-f]{8}",
+    "dur_ms": r"[0-9]+",
+}
+
+
+def _vfield(kv: Column, key: str) -> Column:
+    """``_field`` gated through the field's value grammar (prefix match)."""
+    return F.nullif(
+        F.regexp_extract(_field(kv, key), f"^({FIELD_VALUE_GRAMMAR[key]})", 1), F.lit("")
+    )
+
+
 def parse_turns(df: DataFrame) -> DataFrame:
     """transcripts -> parsed, typed columns + signal_type.
 
@@ -109,13 +143,13 @@ def parse_turns(df: DataFrame) -> DataFrame:
     def when_sig(s: str, col: Column) -> Column:
         return F.when(sig == s, col)
 
-    sev_text = when_sig("log", _field(kv, "level"))
+    sev_text = when_sig("log", _vfield(kv, "level"))
     sev_num = F.element_at(
         F.create_map(*[y for k, v in SEVERITY_NUMBER.items() for y in (F.lit(k), F.lit(v))]),
         sev_text,
     )
     msg = when_sig("log", _x(t, RE_LOG_MSG))
-    retry_v = when_sig("log", _field(kv, "retry"))
+    retry_v = when_sig("log", _vfield(kv, "retry"))
 
     return (
         df.withColumn("signal_type", classify_signal(t))
@@ -129,23 +163,23 @@ def parse_turns(df: DataFrame) -> DataFrame:
             "text",
             "signal_type",
             # log fields
-            when_sig("log", _field(kv, "ts_us")).try_cast("long").alias("log_ts_us"),
+            when_sig("log", _vfield(kv, "ts_us")).try_cast("long").alias("log_ts_us"),
             sev_text.alias("severity_text"),
             sev_num.cast("int").alias("severity_number"),
             msg.alias("msg"),
-            when_sig("log", _field(kv, "code")).try_cast("long").alias("code"),
+            when_sig("log", _vfield(kv, "code")).try_cast("long").alias("code"),
             F.when(retry_v == "true", F.lit(True))
             .when(retry_v == "false", F.lit(False))
             .alias("retry"),
             # metric fields
-            when_sig("metric", _field(kv, "name")).alias("metric_name"),
-            when_sig("metric", _field(kv, "value")).try_cast("long").alias("metric_value"),
-            when_sig("metric", _field(kv, "unit")).alias("metric_unit"),
+            when_sig("metric", _vfield(kv, "name")).alias("metric_name"),
+            when_sig("metric", _vfield(kv, "value")).try_cast("long").alias("metric_value"),
+            when_sig("metric", _vfield(kv, "unit")).alias("metric_unit"),
             # trace fields (hex-string ids; binary form is unhex(span_hex) — the
             # 16-char id is 8 bytes, validated like logs.go:145-154)
-            when_sig("trace", _field(kv, "span")).alias("span_hex"),
-            when_sig("trace", _field(kv, "parent")).alias("parent_hex"),
-            when_sig("trace", _field(kv, "dur_ms")).try_cast("long").alias("dur_ms"),
+            when_sig("trace", _vfield(kv, "span")).alias("span_hex"),
+            when_sig("trace", _vfield(kv, "parent")).alias("parent_hex"),
+            when_sig("trace", _vfield(kv, "dur_ms")).try_cast("long").alias("dur_ms"),
             # body union (always str-typed for text payloads; tag kept for parity
             # with the reference's 7-way union)
             F.struct(

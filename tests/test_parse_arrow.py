@@ -55,3 +55,31 @@ def test_arrow_parse_malformed_values_quarantine_not_crash(spark):
     assert out[2]["signal_type"] == "trace"
     assert out[2]["parent_hex"] is None and out[2]["dur_ms"] is None
     assert out[3]["signal_type"] == "quarantine"
+
+
+def test_parse_paths_agree_on_malformed_values(spark):
+    """ADVICE r1: the JVM tokenizer must gate field values with the same
+    grammar the oracles/Arrow path use — 'parent=zzz', 'unit=MS', lowercase
+    levels, partial-prefix values must parse identically on both paths."""
+    rows = [
+        ("c-0", 0, "u", None, 'ts_us=1 level=info msg="m" code=7 retry=true'),   # lowercase level
+        ("c-1", 1, "u", None, 'ts_us=2 level=INFOX msg="m" code=9x retry=truex'),  # prefix values
+        ("c-2", 2, "u", None, "name=cpu value=-12x unit=MS"),                     # bad unit, prefix value
+        ("c-3", 3, "u", None, "span=0123456789abcdef parent=zzz dur_ms=5"),       # bad parent
+        ("c-4", 4, "u", None, "span=0123456789abcdef parent=0123456789 dur_ms=5"),  # long parent
+        ("c-5", 5, "u", None, 'ts_us=3 level= msg="" code='),                     # empty values
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, text string"
+    ).withColumn("ts", F.current_timestamp())
+    _assert_same(parse_turns(df).drop("body"), parse_turns_arrow(df).drop("body"))
+    got = {r["turn_idx"]: r for r in parse_turns(df).collect()}
+    # spot-check the oracle semantics (regexp_extract prefix matching)
+    assert got[0]["severity_text"] is None and got[0]["code"] == 7
+    assert got[1]["severity_text"] == "INFOX" and got[1]["severity_number"] is None
+    assert got[1]["code"] == 9
+    assert got[1]["retry"] is True  # ' retry=(true|false)' matches the prefix
+    assert got[2]["metric_value"] == -12 and got[2]["metric_unit"] is None
+    assert got[3]["parent_hex"] is None and got[3]["dur_ms"] == 5
+    assert got[4]["parent_hex"] == "01234567"
+    assert got[5]["severity_text"] is None and got[5]["code"] is None
