@@ -334,6 +334,86 @@ def q_pipeline_weighted_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Metrics data-point star schema (O5/J3: NumberDP/HistogramDP/SummaryDP +
+# exemplars as related records, pkg/otel/metrics/arrow/related_data.go:82-156)
+# ---------------------------------------------------------------------------
+
+HIST_BOUNDS = [50.0, 500.0, 5000.0, 50000.0]
+
+
+def _metric_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).where(F.col("signal_type") == "metric")
+
+
+def q_pipeline_metrics_number_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumberDP related record: points keyed by a surrogate parent metric id
+    (number_data_point.go:36-47 shape; parent = the main METRICS record)."""
+    from otel_arrow_adapter_spark.operators.normalize import ranked_dim
+
+    pts = _metric_points(spark, sf_dir)
+    dim = ranked_dim(pts, ("metric_name", "metric_unit"), "metric_id")
+    return pts.join(F.broadcast(dim), ["metric_name", "metric_unit"]).select(
+        "metric_id", "conv_id", "turn_idx", F.col("metric_value").alias("int_value")
+    )
+
+
+def q_pipeline_metrics_hist_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistogramDP rollup: bucket_counts (array<long>) over explicit bounds +
+    count/sum/min/max (histogram_dp.go:50-66 shape). Arrays compared as
+    JSON (engine-portable for integer arrays)."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import histogram_rollup
+
+    hist = histogram_rollup(_metric_points(spark, sf_dir), bounds=HIST_BOUNDS)
+    return hist.select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        "sum",
+        "min",
+        "max",
+        F.to_json("bucket_counts").alias("bucket_counts"),
+    )
+
+
+def q_pipeline_metrics_summary_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummaryDP rollup: count/sum + exact quantile values
+    (summary_dp.go:36 shape; percentile_approx is the 10^12-row path)."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import summary_rollup
+
+    return summary_rollup(_metric_points(spark, sf_dir), quantiles=[0.5, 0.9, 0.99])
+
+
+def q_pipeline_metrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar selection: top-2 max-value points per metric with source
+    linkage (exemplar.go:36-44 carries span/trace ids; transcripts link
+    back to conv_id/turn_idx). Window partitioned by metric keys."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import top_exemplars
+
+    return top_exemplars(_metric_points(spark, sf_dir), k=2).select(
+        "metric_name", "metric_unit", "exemplar_value", "conv_id", "turn_idx", "rank"
+    )
+
+
+def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema encode over the nested generator: per-record row
+    counts (A4 analog). No SQL oracle (the nested generator is
+    xxhash64-seeded, which DuckDB lacks); encode∘decode == id is
+    pytest-gated (test_metrics_dp.py::test_metrics_roundtrip)."""
+    from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_nested
+    from otel_arrow_adapter_spark.operators.metrics_dp import encode_metrics
+
+    records = encode_metrics(synthesize_metrics_nested(spark, n_metrics=300))
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("record"), "n_rows")
+        for name, df in sorted(records.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Analytics queries over driver tables (agg/join/window coverage)
 # ---------------------------------------------------------------------------
 
@@ -616,6 +696,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_schema_analyzer": q_pipeline_schema_analyzer,
     "pipeline_weighted_split": q_pipeline_weighted_split,
     "pipeline_delta_ids": q_pipeline_delta_ids,
+    "pipeline_metrics_number_dp": q_pipeline_metrics_number_dp,
+    "pipeline_metrics_hist_dp": q_pipeline_metrics_hist_dp,
+    "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
+    "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
+    "pipeline_metrics_dp_records": q_pipeline_metrics_dp_records,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
     "pipeline_change_detect": q_pipeline_change_detect,
@@ -795,6 +880,68 @@ GROUP BY 1
 SELECT res_id, count(*) AS n_rows, max(res_id_delta) AS max_delta,
        CAST(sum(res_id_delta) AS BIGINT) AS delta_sum
 FROM enc GROUP BY res_id
+""",
+    "pipeline_metrics_number_dp": _CTE + """
+, pts AS (
+  SELECT conv_id, turn_idx,
+    nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS int_value,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+)
+SELECT CAST(dense_rank() OVER (ORDER BY metric_name, metric_unit) AS BIGINT) AS metric_id,
+       conv_id, turn_idx, int_value
+FROM pts
+""",
+    "pipeline_metrics_hist_dp": _CTE + """
+, pts AS (
+  SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+)
+SELECT metric_name, metric_unit,
+  count(v) AS "count",
+  CAST(sum(v) AS DOUBLE) AS "sum",
+  CAST(min(v) AS DOUBLE) AS "min",
+  CAST(max(v) AS DOUBLE) AS "max",
+  CAST(to_json(list_value(
+    sum(CASE WHEN v <= 50 THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN v > 50 AND v <= 500 THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN v > 500 AND v <= 5000 THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN v > 5000 AND v <= 50000 THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN v > 50000 THEN 1 ELSE 0 END)::BIGINT)) AS VARCHAR) AS bucket_counts
+FROM pts GROUP BY 1, 2
+""",
+    "pipeline_metrics_summary_dp": _CTE + """
+, pts AS (
+  SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+)
+SELECT metric_name, metric_unit,
+  count(v) AS "count",
+  CAST(sum(v) AS DOUBLE) AS "sum",
+  round(quantile_cont(v, 0.5), 6) AS q0_5,
+  round(quantile_cont(v, 0.9), 6) AS q0_9,
+  round(quantile_cont(v, 0.99), 6) AS q0_99
+FROM pts GROUP BY 1, 2
+""",
+    "pipeline_metrics_exemplars": _CTE + """
+, pts AS (
+  SELECT conv_id, turn_idx,
+    nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+), ranked AS (
+  SELECT metric_name, metric_unit, v AS exemplar_value, conv_id, turn_idx,
+    CAST(row_number() OVER (PARTITION BY metric_name, metric_unit
+                            ORDER BY v DESC, conv_id ASC, turn_idx ASC) AS INT) AS rank
+  FROM pts
+)
+SELECT * FROM ranked WHERE rank <= 2
 """,
     "media_frame_sample": """
 WITH media AS (

@@ -1,0 +1,358 @@
+"""Metrics data-point star schema: encode / decode / rollups (O5, J3, A2).
+
+The reference splits each metrics batch into a main METRICS record plus a
+family of related records keyed by surrogate ids — NumberDP, HistogramDP,
+SummaryDP, per-DP exemplars and attrs (registry:
+/root/reference/pkg/otel/common/arrow/related_data.go:108-211; schemas:
+metrics.go:33-47, number_data_point.go:36-47, histogram_dp.go:50-66,
+summary_dp.go:36, exemplar.go:36-44). This module re-expresses that split
+as pure DataFrame transforms:
+
+- ``encode_metrics``: nested metrics -> {record_name: flat DataFrame}.
+  IDs are NOT batch-order counters (meaningless under distributed
+  execution): the metric id derives from a (hash-bucket, in-bucket rank)
+  pair and every child id from (parent_id << 16 | position) — unique,
+  deterministic, and assigned without any global window.
+- ``decode_metrics``: the inverse — group children, re-nest, reproduce the
+  input (round-trip contract, validation_process.md:23-32). Child arrays
+  are re-assembled with sort_array; the generator emits them in canonical
+  order, so equality is exact (assert.Equiv analog).
+- ``histogram_rollup`` / ``summary_rollup`` / ``top_exemplars``: the
+  HistogramDP / SummaryDP / Exemplar *computations* over raw number points
+  (bucket counts with explicit bounds as array columns, exact quantile
+  summaries, max-value exemplar with trace linkage) — what a metrics
+  pipeline computes at 100 TB; all map-side-combinable single-shuffle aggs.
+
+Sorts (O5): DP_SORT_KEYS per record, applied by ``write_metrics_records``
+within partitions before the parquet write (the reference's
+sort-for-compression, number_data_point.go:93-113 strategies; default =
+by (parent_id, ts) — the ByTimestampParentID family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# O5 default sort-for-compression keys per related record.
+DP_SORT_KEYS = {
+    "metrics": ["res_id", "scope_id", "metric_type", "name"],
+    "number_dp": ["parent_id", "ts_us"],
+    "hist_dp": ["parent_id", "ts_us"],
+    "summary_dp": ["parent_id", "ts_us"],
+    "number_dp_exemplar": ["parent_id", "ts_us"],
+    "hist_dp_exemplar": ["parent_id", "ts_us"],
+    "number_dp_attrs": ["key", "str", "parent_id"],
+    "hist_dp_attrs": ["key", "str", "parent_id"],
+    "summary_dp_attrs": ["key", "str", "parent_id"],
+}
+
+
+def assign_row_ids(
+    df: DataFrame, key_cols: tuple[str, ...], id_name: str = "id", n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic unique row ids WITHOUT a global window.
+
+    The reference's ids are per-batch row counters (u16/u32 appended in
+    walk order, metrics.go:42); a distributed table has no batch order, so
+    id = (key-hash bucket << 32) | row_number-within-bucket. key_cols must
+    be row-unique for determinism across runs."""
+    b = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("long")
+    w = Window.partitionBy("_idb").orderBy(*key_cols)
+    return (
+        df.withColumn("_idb", b)
+        .withColumn(id_name, F.shiftleft(F.col("_idb"), 32) + F.row_number().over(w))
+        .drop("_idb")
+    )
+
+
+def _child_id(parent: Column, pos: Column) -> Column:
+    # parent id occupies <= 38 bits (64 buckets << 32 + rank); 16 bits of
+    # position below it keeps the child id unique in a long
+    return F.shiftleft(parent, 16) + pos
+
+
+def _explode_dps(nested: DataFrame, family: str) -> DataFrame:
+    return nested.select(
+        F.col("id").alias("parent_id"), F.posexplode(family).alias("_pos", "dp")
+    ).withColumn("id", _child_id(F.col("parent_id"), F.col("_pos")))
+
+
+def _exemplar_record(dps: DataFrame) -> DataFrame:
+    return dps.select(
+        F.col("id").alias("parent_id"), F.posexplode("dp.exemplars").alias("_pos", "ex")
+    ).select(
+        _child_id(F.col("parent_id"), F.col("_pos")).alias("id"),
+        "parent_id",
+        F.col("ex.ts_us").alias("ts_us"),
+        F.col("ex.int_value").alias("int_value"),
+        F.col("ex.double_value").alias("double_value"),
+        F.unhex(F.col("ex.span_hex")).alias("span_id"),
+        F.unhex(F.col("ex.trace_hex")).alias("trace_id"),
+    )
+
+
+def _attrs_record(dps: DataFrame) -> DataFrame:
+    """Per-DP attrs melt — same long shape as the main attrs record
+    (parent_id, key, type tag, str), attributes_16.go:41-51."""
+    return dps.select(F.col("id").alias("parent_id"), F.explode("dp.attrs").alias("a")).select(
+        "parent_id",
+        F.col("a.key").alias("key"),
+        F.lit(1).cast("tinyint").alias("type"),
+        F.col("a.str").alias("str"),
+    )
+
+
+def encode_metrics(nested: DataFrame, id_key: tuple[str, ...] = ("gen_id",)) -> dict[str, DataFrame]:
+    """Nested metrics -> star schema of flat related records."""
+    m = assign_row_ids(nested, id_key)
+    records: dict[str, DataFrame] = {}
+    records["metrics"] = m.select(
+        "id",
+        "res_id",
+        "scope_id",
+        "metric_type",
+        "name",
+        "description",
+        "unit",
+        "aggregation_temporality",
+        "is_monotonic",
+        *id_key,
+    )
+
+    ndp = _explode_dps(m, "number_dps")
+    records["number_dp"] = ndp.select(
+        "id",
+        "parent_id",
+        F.col("dp.start_ts_us").alias("start_ts_us"),
+        F.col("dp.ts_us").alias("ts_us"),
+        F.col("dp.int_value").alias("int_value"),
+        F.col("dp.double_value").alias("double_value"),
+    )
+    records["number_dp_exemplar"] = _exemplar_record(ndp)
+    records["number_dp_attrs"] = _attrs_record(ndp)
+
+    hdp = _explode_dps(m, "hist_dps")
+    records["hist_dp"] = hdp.select(
+        "id",
+        "parent_id",
+        F.col("dp.start_ts_us").alias("start_ts_us"),
+        F.col("dp.ts_us").alias("ts_us"),
+        F.col("dp.count").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.col("dp.bucket_counts").alias("bucket_counts"),
+        F.col("dp.explicit_bounds").alias("explicit_bounds"),
+        F.col("dp.min").alias("min"),
+        F.col("dp.max").alias("max"),
+    )
+    records["hist_dp_exemplar"] = _exemplar_record(hdp)
+    records["hist_dp_attrs"] = _attrs_record(hdp)
+
+    sdp = _explode_dps(m, "summary_dps")
+    records["summary_dp"] = sdp.select(
+        "id",
+        "parent_id",
+        F.col("dp.start_ts_us").alias("start_ts_us"),
+        F.col("dp.ts_us").alias("ts_us"),
+        F.col("dp.count").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.col("dp.quantile_values").alias("quantile_values"),
+    )
+    records["summary_dp_attrs"] = _attrs_record(sdp)
+    return records
+
+
+def _nest_children(dps: DataFrame, exemplars: DataFrame | None, attrs: DataFrame) -> DataFrame:
+    """Re-attach exemplars/attrs arrays to their dp rows (J3 parent wiring,
+    left joins on surrogate keys — the decode-side index lookup,
+    /root/reference/pkg/otel/metrics/otlp/related_data.go:84-156)."""
+    out = dps
+    if exemplars is not None:
+        ex = exemplars.groupBy("parent_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "ts_us",
+                        "int_value",
+                        "double_value",
+                        F.lower(F.hex("span_id")).alias("span_hex"),
+                        F.lower(F.hex("trace_id")).alias("trace_hex"),
+                    )
+                )
+            ).alias("exemplars")
+        )
+        out = out.join(ex, out["id"] == ex["parent_id"], "left").drop(ex["parent_id"])
+        out = out.withColumn(
+            "exemplars",
+            F.coalesce(
+                "exemplars",
+                F.array().cast(
+                    "array<struct<ts_us:bigint,int_value:bigint,double_value:double,"
+                    "span_hex:string,trace_hex:string>>"
+                ),
+            ),
+        )
+    at = attrs.groupBy("parent_id").agg(
+        F.sort_array(F.collect_list(F.struct("key", "str"))).alias("attrs")
+    )
+    out = out.join(at, out["id"] == at["parent_id"], "left").drop(at["parent_id"])
+    return out.withColumn(
+        "attrs", F.coalesce("attrs", F.array().cast("array<struct<key:string,str:string>>"))
+    )
+
+
+def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
+    """Star schema -> nested metrics (inverse of encode_metrics)."""
+    ndp = _nest_children(
+        records["number_dp"], records["number_dp_exemplar"], records["number_dp_attrs"]
+    )
+    number = ndp.groupBy("parent_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "start_ts_us", "ts_us", "int_value", "double_value", "exemplars", "attrs"
+                )
+            )
+        ).alias("number_dps")
+    )
+    hdp = _nest_children(
+        records["hist_dp"], records["hist_dp_exemplar"], records["hist_dp_attrs"]
+    )
+    hist = hdp.groupBy("parent_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "start_ts_us",
+                    "ts_us",
+                    "count",
+                    "sum",
+                    "bucket_counts",
+                    "explicit_bounds",
+                    "min",
+                    "max",
+                    "exemplars",
+                    "attrs",
+                )
+            )
+        ).alias("hist_dps")
+    )
+    sdp = _nest_children(records["summary_dp"], None, records["summary_dp_attrs"])
+    summ = sdp.groupBy("parent_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("start_ts_us", "ts_us", "count", "sum", "quantile_values", "attrs")
+            )
+        ).alias("summary_dps")
+    )
+    m = records["metrics"]
+    out = m
+    for child, cname in ((number, "number_dps"), (hist, "hist_dps"), (summ, "summary_dps")):
+        out = out.join(child, out["id"] == child["parent_id"], "left").drop("parent_id")
+    # absent family -> empty array (matches the generator's empty arrays)
+    ndp_t = (
+        "array<struct<start_ts_us:bigint,ts_us:bigint,int_value:bigint,double_value:double,"
+        "exemplars:array<struct<ts_us:bigint,int_value:bigint,double_value:double,"
+        "span_hex:string,trace_hex:string>>,attrs:array<struct<key:string,str:string>>>>"
+    )
+    hdp_t = (
+        "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
+        "bucket_counts:array<bigint>,explicit_bounds:array<double>,min:double,max:double,"
+        "exemplars:array<struct<ts_us:bigint,int_value:bigint,double_value:double,"
+        "span_hex:string,trace_hex:string>>,attrs:array<struct<key:string,str:string>>>>"
+    )
+    sdp_t = (
+        "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
+        "quantile_values:array<struct<quantile:double,value:double>>,"
+        "attrs:array<struct<key:string,str:string>>>>"
+    )
+    return (
+        out.withColumn("number_dps", F.coalesce("number_dps", F.array().cast(ndp_t)))
+        .withColumn("hist_dps", F.coalesce("hist_dps", F.array().cast(hdp_t)))
+        .withColumn("summary_dps", F.coalesce("summary_dps", F.array().cast(sdp_t)))
+    )
+
+
+def write_metrics_records(records: dict[str, DataFrame], out_dir: str, mode: str = "overwrite") -> None:
+    """One sorted zstd parquet table per related record (S3 analog); each
+    record sorted by its O5 keys before the write."""
+    for name, df in records.items():
+        keys = [k for k in DP_SORT_KEYS.get(name, []) if k in df.columns]
+        (
+            df.sortWithinPartitions(*keys)
+            .write.mode(mode)
+            .option("compression", "zstd")
+            .parquet(f"{out_dir}/metrics_records/{name}")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Rollups over raw number points (the DP computations at pipeline scale)
+# ---------------------------------------------------------------------------
+
+def histogram_rollup(
+    points: DataFrame,
+    bounds: list[float],
+    value_col: str = "metric_value",
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+) -> DataFrame:
+    """Aggregate raw points into HistogramDP rows: count, sum, min, max,
+    bucket_counts (array<long>, len(bounds)+1) with OTLP bucket semantics
+    (bucket i counts bounds[i-1] < v <= bounds[i]; last = overflow).
+    Shape: one map-side-combined groupBy — no window, no second shuffle."""
+    v = F.col(value_col)
+    in_bucket = []
+    for i, b in enumerate(bounds):
+        lo = F.lit(bounds[i - 1]) if i > 0 else None
+        cond = (v <= F.lit(b)) if lo is None else ((v > lo) & (v <= F.lit(b)))
+        in_bucket.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long"))
+    in_bucket.append(F.sum(F.when(v > F.lit(bounds[-1]), 1).otherwise(0)).cast("long"))
+    return points.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("count"),
+        F.sum(v).cast("double").alias("sum"),
+        F.min(v).cast("double").alias("min"),
+        F.max(v).cast("double").alias("max"),
+        F.array(*in_bucket).alias("bucket_counts"),
+        F.array(*[F.lit(float(b)) for b in bounds]).alias("explicit_bounds"),
+    )
+
+
+def summary_rollup(
+    points: DataFrame,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    value_col: str = "metric_value",
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+) -> DataFrame:
+    """SummaryDP rows: count, sum + exact quantile values (summary_dp.go:36
+    shape). Exact percentile so the DuckDB oracle matches bit-for-bit;
+    percentile_approx is the drop-in at 10^12 rows."""
+    v = F.col(value_col)
+    pct = F.percentile(v, F.array(*[F.lit(q) for q in quantiles]))
+    return points.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("count"),
+        F.sum(v).cast("double").alias("sum"),
+        *[
+            F.round(pct.getItem(i), 6).alias(f"q{str(q).replace('.', '_')}")
+            for i, q in enumerate(quantiles)
+        ],
+    )
+
+
+def top_exemplars(
+    points: DataFrame,
+    value_col: str = "metric_value",
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+    link_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    k: int = 1,
+) -> DataFrame:
+    """Exemplar selection: the k max-value points per metric with their
+    source linkage (exemplar.go:36-44 carries span/trace ids; the transcript
+    analog links back to (conv_id, turn_idx)). Window partitioned by the
+    metric keys — parallel across metrics, never a global sort."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(value_col), *[F.asc(c) for c in link_cols]
+    )
+    return (
+        points.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*keys, F.col(value_col).alias("exemplar_value"), *link_cols, F.col("_rn").alias("rank"))
+    )

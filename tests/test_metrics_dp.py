@@ -1,0 +1,130 @@
+"""Metrics data-point star schema: encode -> related records -> decode ==
+identity (the reference's metrics round-trip validation,
+/root/reference/pkg/otel/metrics/validation_test.go), plus rollup unit
+checks with known answers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_nested
+from otel_arrow_adapter_spark.operators.metrics_dp import (
+    assign_row_ids,
+    decode_metrics,
+    encode_metrics,
+    histogram_rollup,
+    summary_rollup,
+    top_exemplars,
+    write_metrics_records,
+)
+
+RECORD_NAMES = {
+    "metrics",
+    "number_dp",
+    "hist_dp",
+    "summary_dp",
+    "number_dp_exemplar",
+    "hist_dp_exemplar",
+    "number_dp_attrs",
+    "hist_dp_attrs",
+    "summary_dp_attrs",
+}
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return synthesize_metrics_nested(spark, n_metrics=120, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def records(nested):
+    return {k: v.cache() for k, v in encode_metrics(nested).items()}
+
+
+def _canon(df, cols):
+    """vPath-style canonical form: sorted JSON of sorted columns."""
+    j = F.to_json(F.struct(*[F.col(c) for c in sorted(cols)]))
+    return sorted(r[0] for r in df.select(j).collect())
+
+
+def test_encode_produces_all_related_records(records):
+    assert set(records) == RECORD_NAMES
+    assert records["metrics"].count() == 120
+    # every metric has exactly one non-empty dp family
+    n_parents = (
+        records["number_dp"].select("parent_id").distinct().count()
+        + records["hist_dp"].select("parent_id").distinct().count()
+        + records["summary_dp"].select("parent_id").distinct().count()
+    )
+    assert n_parents == 120
+
+
+def test_child_ids_wire_to_parents(records):
+    """J3: every related record's parent_id must resolve (no orphans)."""
+    for child, parent in [
+        ("number_dp", "metrics"),
+        ("hist_dp", "metrics"),
+        ("summary_dp", "metrics"),
+        ("number_dp_exemplar", "number_dp"),
+        ("hist_dp_exemplar", "hist_dp"),
+        ("number_dp_attrs", "number_dp"),
+        ("hist_dp_attrs", "hist_dp"),
+        ("summary_dp_attrs", "summary_dp"),
+    ]:
+        orphans = (
+            records[child]
+            .join(records[parent].select(F.col("id").alias("parent_id")), "parent_id", "left_anti")
+            .count()
+        )
+        assert orphans == 0, f"{child} has {orphans} orphan parent ids"
+
+
+def test_metrics_roundtrip(nested, records):
+    decoded = decode_metrics(records)
+    cols = nested.columns  # gen_id + metric fields + 3 dp arrays
+    assert _canon(nested, cols) == _canon(decoded, cols)
+
+
+def test_assign_row_ids_unique_deterministic(spark, nested):
+    a = assign_row_ids(nested, ("gen_id",))
+    assert a.select("id").distinct().count() == a.count()
+    b = {r["gen_id"]: r["id"] for r in assign_row_ids(nested, ("gen_id",)).collect()}
+    for r in a.collect():
+        assert b[r["gen_id"]] == r["id"]
+
+
+def test_write_metrics_records_sorted(spark, records, tmp_path):
+    write_metrics_records(records, str(tmp_path))
+    back = spark.read.parquet(f"{tmp_path}/metrics_records/number_dp")
+    assert back.count() == records["number_dp"].count()
+
+
+def test_histogram_rollup_known_answer(spark):
+    df = spark.createDataFrame(
+        [("m", "ms", v) for v in [1, 50, 51, 500, 501, 7000]],
+        "metric_name string, metric_unit string, metric_value long",
+    )
+    row = histogram_rollup(df, bounds=[50.0, 500.0, 5000.0]).collect()[0]
+    # OTLP semantics: (-inf,50], (50,500], (500,5000], (5000,inf)
+    assert row["bucket_counts"] == [2, 2, 1, 1]
+    assert row["count"] == 6 and row["min"] == 1.0 and row["max"] == 7000.0
+    assert row["sum"] == float(1 + 50 + 51 + 500 + 501 + 7000)
+
+
+def test_summary_rollup_exact_quantiles(spark):
+    df = spark.createDataFrame(
+        [("m", "ms", v) for v in range(1, 101)],
+        "metric_name string, metric_unit string, metric_value long",
+    )
+    row = summary_rollup(df, quantiles=[0.5, 0.99]).collect()[0]
+    assert row["count"] == 100 and row["q0_5"] == 50.5
+    assert row["q0_99"] == pytest.approx(99.01)
+
+
+def test_top_exemplars_linkage(spark):
+    df = spark.createDataFrame(
+        [("m", "ms", 5, "c1", 0), ("m", "ms", 9, "c2", 1), ("m", "ms", 9, "c0", 2)],
+        "metric_name string, metric_unit string, metric_value long, conv_id string, turn_idx int",
+    )
+    rows = top_exemplars(df, k=2).orderBy("rank").collect()
+    assert (rows[0]["exemplar_value"], rows[0]["conv_id"]) == (9, "c0")  # tie -> conv_id asc
+    assert (rows[1]["exemplar_value"], rows[1]["conv_id"]) == (9, "c2")
