@@ -414,6 +414,49 @@ def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Span events/links related records (O6, J3: event.go:46-52, link.go:47-55)
+# ---------------------------------------------------------------------------
+
+def _trace_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).where(F.col("signal_type") == "trace")
+
+
+def q_pipeline_span_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_EVENTS related record: start/end lifecycle events per span."""
+    from otel_arrow_adapter_spark.operators.span_records import span_events
+
+    return span_events(_trace_points(spark, sf_dir))
+
+
+def q_pipeline_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_LINKS related record: link to the conversation-parent span."""
+    from otel_arrow_adapter_spark.operators.span_records import span_links
+
+    return span_links(_trace_points(spark, sf_dir))
+
+
+def q_pipeline_span_event_wiring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 decode-side wiring: children grouped and re-attached per span —
+    the reconstruct analog of the reference's related-data store lookups."""
+    from otel_arrow_adapter_spark.operators.span_records import (
+        span_events,
+        span_links,
+        wire_span_children,
+    )
+
+    traces = _trace_points(spark, sf_dir)
+    wired = wire_span_children(traces, span_events(traces), span_links(traces))
+    return wired.select(
+        "conv_id",
+        "turn_idx",
+        "span_hex",
+        "n_events",
+        "n_links",
+        (F.col("last_event_ts_us") - F.col("first_event_ts_us")).alias("span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Analytics queries over driver tables (agg/join/window coverage)
 # ---------------------------------------------------------------------------
 
@@ -701,6 +744,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
     "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
     "pipeline_metrics_dp_records": q_pipeline_metrics_dp_records,
+    "pipeline_span_events": q_pipeline_span_events,
+    "pipeline_span_links": q_pipeline_span_links,
+    "pipeline_span_event_wiring": q_pipeline_span_event_wiring,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
     "pipeline_change_detect": q_pipeline_change_detect,
@@ -942,6 +988,48 @@ FROM pts GROUP BY 1, 2
   FROM pts
 )
 SELECT * FROM ranked WHERE rank <= 2
+""",
+    "pipeline_span_events": _CTE + """
+, tr AS (
+  SELECT conv_id, turn_idx,
+    nullif(regexp_extract(text, '^span=([0-9a-f]{16})', 1), '') AS span_hex,
+    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms,
+    epoch_us(ts) AS ts_us
+  FROM classified WHERE signal_type = 'trace'
+)
+SELECT conv_id, turn_idx, span_hex, 'span.start' AS event_name,
+       ts_us AS event_ts_us, CAST(0 AS INTEGER) AS dropped_attributes_count
+FROM tr
+UNION ALL
+SELECT conv_id, turn_idx, span_hex, 'span.end',
+       ts_us + dur_ms * 1000, CAST(0 AS INTEGER)
+FROM tr WHERE dur_ms IS NOT NULL
+""",
+    "pipeline_span_links": _CTE + """
+SELECT conv_id, turn_idx,
+  nullif(regexp_extract(text, '^span=([0-9a-f]{16})', 1), '') AS span_hex,
+  md5(conv_id) AS link_trace_hex,
+  lpad(nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), ''), 16, '0') AS link_span_hex,
+  CAST(NULL AS VARCHAR) AS trace_state,
+  CAST(0 AS INTEGER) AS dropped_attributes_count
+FROM classified
+WHERE signal_type = 'trace'
+  AND nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), '') IS NOT NULL
+""",
+    "pipeline_span_event_wiring": _CTE + """
+, tr AS (
+  SELECT conv_id, turn_idx,
+    nullif(regexp_extract(text, '^span=([0-9a-f]{16})', 1), '') AS span_hex,
+    nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), '') AS parent_hex,
+    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms,
+    epoch_us(ts) AS ts_us
+  FROM classified WHERE signal_type = 'trace'
+)
+SELECT conv_id, turn_idx, span_hex,
+  CAST(CASE WHEN dur_ms IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_events,
+  CAST(CASE WHEN parent_hex IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+  CASE WHEN dur_ms IS NOT NULL THEN dur_ms * 1000 ELSE 0 END AS span_us
+FROM tr
 """,
     "media_frame_sample": """
 WITH media AS (
