@@ -194,7 +194,9 @@ def q_pipeline_enrich_services(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_attrs_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/P4: long attrs table (key, type tag, typed value columns)."""
+    """P3/P4/P8: long attrs table — the full AnyValue union (6 type tags:
+    str/int/double/bool/bytes/ser; bytes surfaced as hex for the
+    engine-portable value hash, ser is the JSON-serialized nested value)."""
     attrs = melt_attributes(_parsed(spark, sf_dir))
     return attrs.select(
         "conv_id",
@@ -203,7 +205,10 @@ def q_pipeline_attrs_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("type").cast("int").alias("type"),
         "str",
         "int",
+        "double",
         "bool",
+        F.hex("bytes").alias("bytes_hex"),
+        "ser",
     )
 
 
@@ -819,22 +824,42 @@ GROUP BY 1
     CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT) AS code,
     (nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true') AS retry,
     nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS unit,
-    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms
+    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS value,
+    nullif(regexp_extract(text, '^span=([0-9a-f]{16})', 1), '') AS span_hex,
+    nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), '') AS parent_hex
   FROM classified
 )
 SELECT conv_id, turn_idx, 'tool' AS key, 1 AS type, tool AS str,
-       CAST(NULL AS BIGINT) AS int, CAST(NULL AS BOOLEAN) AS bool
+       CAST(NULL AS BIGINT) AS int, CAST(NULL AS DOUBLE) AS double,
+       CAST(NULL AS BOOLEAN) AS bool, CAST(NULL AS VARCHAR) AS bytes_hex,
+       CAST(NULL AS VARCHAR) AS ser
   FROM parsed WHERE tool IS NOT NULL
 UNION ALL
-SELECT conv_id, turn_idx, 'level', 1, level, NULL, NULL FROM parsed WHERE level IS NOT NULL
+SELECT conv_id, turn_idx, 'level', 1, level, NULL, NULL, NULL, NULL, NULL
+  FROM parsed WHERE level IS NOT NULL
 UNION ALL
-SELECT conv_id, turn_idx, 'code', 2, NULL, code, NULL FROM parsed WHERE code IS NOT NULL
+SELECT conv_id, turn_idx, 'code', 2, NULL, code, NULL, NULL, NULL, NULL
+  FROM parsed WHERE code IS NOT NULL
 UNION ALL
-SELECT conv_id, turn_idx, 'retry', 4, NULL, NULL, retry FROM parsed WHERE retry IS NOT NULL
+SELECT conv_id, turn_idx, 'retry', 4, NULL, NULL, NULL, retry, NULL, NULL
+  FROM parsed WHERE retry IS NOT NULL
 UNION ALL
-SELECT conv_id, turn_idx, 'unit', 1, unit, NULL, NULL FROM parsed WHERE unit IS NOT NULL
+SELECT conv_id, turn_idx, 'unit', 1, unit, NULL, NULL, NULL, NULL, NULL
+  FROM parsed WHERE unit IS NOT NULL
 UNION ALL
-SELECT conv_id, turn_idx, 'dur_ms', 2, NULL, dur_ms, NULL FROM parsed WHERE dur_ms IS NOT NULL
+SELECT conv_id, turn_idx, 'dur_ms', 2, NULL, dur_ms, NULL, NULL, NULL, NULL
+  FROM parsed WHERE dur_ms IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'value_scaled', 3, NULL, NULL, value / 100.0, NULL, NULL, NULL
+  FROM parsed WHERE value IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'span_bytes', 5, NULL, NULL, NULL, NULL, upper(span_hex), NULL
+  FROM parsed WHERE span_hex IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'link', 6, NULL, NULL, NULL, NULL, NULL,
+       CAST(to_json(struct_pack(parent := parent_hex, dur := dur_ms)) AS VARCHAR)
+  FROM parsed WHERE parent_hex IS NOT NULL AND dur_ms IS NOT NULL
 """,
     "pipeline_stable_order": duckdb_transcripts_cte() + """
 SELECT conv_id, turn_idx,

@@ -36,8 +36,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Value columns that define a delta group, in the reference's default
-# Attrs16 sort order (key, value, parent_id).
-GROUP_COLS = ("key", "type", "str", "int", "double", "bool")
+# Attrs16 sort order (key, value, parent_id). Columns absent from the
+# input are skipped (an attrs table may carry any subset of the union).
+GROUP_COLS = ("key", "type", "str", "int", "double", "bool", "bytes", "ser")
+
+
+def _present(group_cols, df: DataFrame):
+    return tuple(c for c in group_cols if c in df.columns)
 
 
 def _with_bucket(attrs: DataFrame, n_buckets: int) -> DataFrame:
@@ -71,6 +76,7 @@ def delta_encode_parent_ids(
     rather than <=1.
     """
     attrs = _with_bucket(attrs, n_buckets)
+    group_cols = _present(group_cols, attrs)
     w = _scope_window(group_cols, "parent_id")
     same = F.lit(True)
     for c in group_cols:
@@ -96,6 +102,7 @@ def delta_decode_parent_ids(encoded: DataFrame, group_cols=GROUP_COLS) -> DataFr
     Requires the encode-time ``enc_bucket`` + ``enc_order`` columns (state
     is scoped exactly as it was at encode time).
     """
+    group_cols = _present(group_cols, encoded)
     w = _scope_window(group_cols, "enc_order")
     seg = F.sum(F.col("group_start").cast("long")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -116,7 +123,7 @@ def with_encode_order(attrs: DataFrame, group_cols=GROUP_COLS, n_buckets: int = 
     explicit column — one row_number per (key, enc_bucket) scope.
     """
     attrs = _with_bucket(attrs, n_buckets)
-    w = _scope_window(group_cols, "parent_id")
+    w = _scope_window(_present(group_cols, attrs), "parent_id")
     return attrs.withColumn("enc_order", F.row_number().over(w))
 
 

@@ -61,16 +61,10 @@ def test_melt_shape_and_union_invariant(spark, transcripts):
     parsed = parse_turns(transcripts)
     attrs = melt_attributes(parsed)
     # exactly one typed value column non-null per row (AnyValue union invariant)
-    bad = attrs.where(
-        (
-            F.col("str").isNotNull().cast("int")
-            + F.col("int").isNotNull().cast("int")
-            + F.col("double").isNotNull().cast("int")
-            + F.col("bool").isNotNull().cast("int")
-        )
-        != 1
-    ).count()
-    assert bad == 0
+    from otel_arrow_adapter_spark.operators.melt import VALUE_COLS
+
+    n_set = sum(F.col(c).isNotNull().cast("int") for c in VALUE_COLS)
+    assert attrs.where(n_set != 1).count() == 0
     # type tag matches the non-null column
     assert attrs.where((F.col("type") == ATTR_STR) & F.col("str").isNull()).count() == 0
     assert attrs.where((F.col("type") == ATTR_INT) & F.col("int").isNull()).count() == 0
@@ -94,3 +88,35 @@ def test_capture_roundtrip_json_compressed(spark, transcripts, tmp_path):
     orig = transcripts.select("conv_id", "turn_idx", "role", "text", "tool")
     assert orig.exceptAll(back).count() == 0
     assert back.exceptAll(orig).count() == 0
+
+
+def test_melt_full_anyvalue_union(spark, transcripts):
+    """P4/P8: the melt covers all 6 union arms (str/int/double/bool/bytes/
+    ser), exactly one value column non-null per row, and ser round-trips
+    through from_json (the CBOR escape-hatch analog, cbor.go:42-66)."""
+    import pyspark.sql.functions as F
+    from otel_arrow_adapter_spark.operators.melt import (
+        VALUE_COLS,
+        decode_ser,
+        melt_attributes,
+    )
+    from otel_arrow_adapter_spark.operators.parse import parse_turns
+
+    parsed = parse_turns(transcripts).cache()
+    attrs = melt_attributes(parsed).cache()
+    tags = {r[0] for r in attrs.select("type").distinct().collect()}
+    assert tags == {1, 2, 3, 4, 5, 6}
+    n_set = sum(F.col(c).isNotNull().cast("int") for c in VALUE_COLS)
+    assert attrs.where(n_set != 1).count() == 0
+    # P8 decode: the nested link value reconstructs (parent_hex, dur_ms)
+    dec = attrs.where(F.col("key") == "link").select(
+        "conv_id", "turn_idx", decode_ser(F.col("ser"), "parent string, dur long").alias("v")
+    ).select("conv_id", "turn_idx", "v.parent", "v.dur")
+    orig = parsed.where(
+        F.col("parent_hex").isNotNull() & F.col("dur_ms").isNotNull()
+    ).select("conv_id", "turn_idx", F.col("parent_hex").alias("parent"), F.col("dur_ms").alias("dur"))
+    assert dec.exceptAll(orig).count() == 0 and orig.exceptAll(dec).count() == 0
+    # bytes arm is the binary span id
+    sb = attrs.where(F.col("key") == "span_bytes").select(F.lower(F.hex("bytes")).alias("h"))
+    sp = parsed.where(F.col("span_hex").isNotNull()).select(F.col("span_hex").alias("h"))
+    assert sb.exceptAll(sp).count() == 0 and sp.exceptAll(sb).count() == 0
