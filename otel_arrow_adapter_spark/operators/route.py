@@ -157,20 +157,27 @@ def write_routed(
     mode: str = "overwrite",
     subdir: str = "routed",
     sort_strategy: str = "default",
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> None:
     """One sorted dynamic-partition write for all sinks (S3 analog:
     IPC+ZSTD+dict-deltas -> Parquet dictionary pages + zstd). Each sink
     gets its own sort keys (``SORT_STRATEGIES[sort_strategy]``) inside the
-    single pass. Iceberg is the production target (partitioned
-    bucket(conv_id)/days(ts) inside each sink); the sandbox image lacks the
-    runtime jar, so partitioned parquet carries the same layout semantics."""
-    slim = labeled.drop(*_DERIVED)
-    sort_cols = sink_sort_exprs(slim, SORT_STRATEGIES[sort_strategy])
+    single pass. ``extra_partition_cols`` prepend layout partitions (the
+    resumable pipeline passes ``bucket``); partitionOverwriteMode=dynamic
+    so a resume overwrites ONLY the partitions it writes. Iceberg is the
+    production target (partitioned bucket(conv_id)/days(ts) inside each
+    sink); the sandbox image lacks the runtime jar, so partitioned parquet
+    carries the same layout semantics."""
+    slim = labeled.drop(*[c for c in _DERIVED if c in labeled.columns])
+    sort_cols = [F.col(c) for c in extra_partition_cols] + sink_sort_exprs(
+        slim, SORT_STRATEGIES[sort_strategy]
+    )
     (
         slim.sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .option("compression", "zstd")
-        .partitionBy("sink")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*extra_partition_cols, "sink")
         .parquet(f"{out_dir}/{subdir}")
     )
 

@@ -90,31 +90,43 @@ def run_pipeline(
         counts.write.mode("overwrite").parquet(f"{out_dir}/sink_counts")
         return spark.read.parquet(f"{out_dir}/sink_counts")
 
+    # Resumable mode: ONE pass over the input for ALL remaining buckets.
+    # (A per-bucket loop re-scans the source n_buckets times — at 100 TB
+    # with 64 buckets that's 64 full input scans for one job.) The bucket
+    # is a layout partition of a single dynamic-partition write; a resume
+    # filters undone buckets at the SCAN (one predicate) and dynamic
+    # overwrite touches only the partitions it writes, so done buckets'
+    # files are never rewritten — no loss, no duplication.
     ledger = Ledger(f"{out_dir}/_ledger", run_id)
     done = ledger.done_keys() if resume else set()
-    bucketed = transcripts.withColumn(
-        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
-    )
-    for b in range(n_buckets):
-        key = f"bucket={b}"
-        if key in done:
-            continue
-        ledger.record(key, "started")
-        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
+    todo = [b for b in range(n_buckets) if f"bucket={b}" not in done]
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    if todo:
+        for b in todo:
+            ledger.record(f"bucket={b}", "started")
+        part = transcripts if len(todo) == n_buckets else transcripts.where(
+            bucket.isin([int(b) for b in todo])
+        )
         labeled = build_labeled(part, catalog, id_mode, salt_buckets, parse_impl)
-        write_routed(labeled, out_dir, subdir=f"routed/{key}")
+        labeled = labeled.withColumn("bucket", bucket)
+        write_routed(labeled, out_dir, extra_partition_cols=("bucket",))
+        # ledger metrics from ONE scan of the (columnar, pruned) output —
+        # the ProducerStats analog (stats.go:26-43), per (bucket, sink)
         stats = (
-            spark.read.parquet(f"{out_dir}/routed/{key}")
-            .groupBy("sink")
+            spark.read.parquet(f"{out_dir}/routed")
+            .where(F.col("bucket").isin([int(b) for b in todo]))
+            .groupBy("bucket", "sink")
             .count()
             .collect()
         )
-        metrics = {r["sink"]: r["count"] for r in stats}
-        ledger.record(key, "done", sum(metrics.values()), metrics)
+        per_bucket: dict[int, dict[str, int]] = {b: {} for b in todo}
+        for r in stats:
+            per_bucket.setdefault(r["bucket"], {})[r["sink"]] = r["count"]
+        for b in todo:
+            metrics = per_bucket.get(b, {})
+            ledger.record(f"bucket={b}", "done", sum(metrics.values()), metrics)
 
-    routed = spark.read.option("basePath", f"{out_dir}/routed").parquet(
-        *[f"{out_dir}/routed/bucket={b}" for b in range(n_buckets)]
-    )
+    routed = spark.read.parquet(f"{out_dir}/routed")
     counts = counts_from_routed(routed, run_id)
     counts.write.mode("overwrite").parquet(f"{out_dir}/sink_counts")
     return spark.read.parquet(f"{out_dir}/sink_counts")

@@ -46,11 +46,20 @@ def test_per_turn_text_equality_under_stable_order(spark, transcripts, small_cat
     assert mismatches == 0
 
 
-def test_resumable_buckets_no_loss_no_dupes(spark, transcripts, small_catalog, tmp_path):
+def test_resumable_buckets_no_loss_no_dupes(spark, transcripts, small_catalog, tmp_path, monkeypatch):
     """F4 protocol: bucketed run, simulated restart -> same result, done
-    buckets skipped."""
+    buckets skipped — and ALL buckets processed in ONE input pass (one
+    dynamic-partition write, never a per-bucket rescan of the source)."""
+    import otel_arrow_adapter_spark.plans.pipeline as pmod
+
+    calls = []
+    real_write = pmod.write_routed
+    monkeypatch.setattr(
+        pmod, "write_routed", lambda *a, **kw: (calls.append(1), real_write(*a, **kw))[1]
+    )
     out = str(tmp_path / "out_resume")
     run_pipeline(spark, transcripts, small_catalog, out, run_id="r1", n_buckets=4)
+    assert len(calls) == 1  # single-pass: one write for all 4 buckets
     sinks = pipeline_sinks(spark, out)
     assert _roundtrip_diff(transcripts, reconstruct_turns(sinks)) == 0
     # restart: everything already done -> ledger skip, output unchanged
@@ -59,8 +68,17 @@ def test_resumable_buckets_no_loss_no_dupes(spark, transcripts, small_catalog, t
     led = Ledger(f"{out}/_ledger")
     assert len(led.done_keys()) == 4
     run_pipeline(spark, transcripts, small_catalog, out, run_id="r2", n_buckets=4, resume=True)
+    assert len(calls) == 1  # fully-done resume triggers no write at all
     sinks2 = pipeline_sinks(spark, out)
     assert _roundtrip_diff(transcripts, reconstruct_turns(sinks2)) == 0
+    # partial restart: forget one bucket -> exactly one more write, only
+    # that bucket's rows re-marked done, round-trip still exact
+    rows = [r for r in open(f"{out}/_ledger/ledger.jsonl")]
+    with open(f"{out}/_ledger/ledger.jsonl", "w") as f:
+        f.writelines(r for r in rows if '"partition_key": "bucket=2"' not in r)
+    run_pipeline(spark, transcripts, small_catalog, out, run_id="r3", n_buckets=4, resume=True)
+    assert len(calls) == 2
+    assert _roundtrip_diff(transcripts, reconstruct_turns(pipeline_sinks(spark, out))) == 0
 
 
 def test_corrupt_rows_quarantined_not_crashed(spark, small_catalog, tmp_path):
