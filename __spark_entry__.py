@@ -608,8 +608,12 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (pandas-UDF signature -> chunk-blocked join).
-    No SQL oracle (bit-voting UDF); correctness via pytest properties."""
+    """SimHash near-dup pairs (pandas-UDF bit-voting signature ->
+    16-bit-chunk pigeonhole blocking, never all-pairs). Oracle: DuckDB
+    recomputes the md5 bit votes in SQL and takes all pairs with
+    bit_count(xor) <= 3 — chunk blocking is LOSSLESS at this distance
+    (hamming <= 3 over 4 chunks forces one equal chunk), so the outputs
+    must match exactly."""
     from otel_arrow_adapter_spark.functions.dedup import simhash_near_dups
 
     return simhash_near_dups(_docs_plus(spark, sf_dir), max_hamming=3)
@@ -1202,6 +1206,39 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+""",
+    "doc_simhash_near_dups": _DOCS_PLUS_SQL + """,
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM docs_plus WHERE length(trim(text)) > 0
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+  FROM (SELECT DISTINCT tok FROM tok_counts)
+),
+votes AS (
+  SELECT t.doc_id, b.bit,
+    sum(t.cnt * (2 * CAST((v.h >> CAST(b.bit AS UBIGINT)) & 1 AS BIGINT) - 1)) AS vote
+  FROM tok_counts t JOIN vocab v USING (tok), (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2
+),
+sig0 AS (
+  -- 64-char bitstring (UBIGINT << 63 overflows in DuckDB; BIT xor doesn't)
+  SELECT doc_id,
+    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS bs
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, CAST(coalesce(s.bs, repeat('0', 64)) AS BIT) AS s
+  FROM docs_plus d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
     "doc_quality": """
 WITH f AS (
