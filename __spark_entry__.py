@@ -657,6 +657,46 @@ def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs(e, threshold=0.25, m=8)
 
 
+def q_emb_ann_pairs_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: candidates = bucket hamming <= 1 (exact side
+    joins the probe side's exact+flip keys) — higher recall than the
+    exact-bucket join at the same m, still never all-pairs."""
+    from otel_arrow_adapter_spark.functions.similarity import ann_pairs_multiprobe
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ann_pairs_multiprobe(e, threshold=0.25, m=8)
+
+
+def q_emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k search: probe the 2 nearest of 10 coarse centroids, exact
+    cosine only inside those clusters (scanned fraction ~ n_probe/n_list)."""
+    from otel_arrow_adapter_spark.functions.similarity import ivf_search
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ivf_search(e, query_vec_id=0, k=10, n_centroids=10, n_probe=2)
+
+
+def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means for IVF centroid training (2 iterations,
+    5 centroids). No SQL oracle (iterative algorithm); convergence and
+    normalization are pytest-gated (test_functions.py::test_kmeans_*)."""
+    from otel_arrow_adapter_spark.functions.similarity import kmeans_train
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = kmeans_train(e, n_centroids=5, iters=2)
+    return cents.select(
+        "centroid_id",
+        F.round(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
+        F.size("c_vec").alias("dim"),
+    )
+
+
 def q_pipeline_delta_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: delta encoding of sorted surrogate IDs + the maxDelta<=1
     monotonicity invariant (the reference panics on violation as a sort-bug
@@ -774,6 +814,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ivf_assign": q_emb_ivf_assign,
     "emb_ann_pairs": q_emb_ann_pairs,
+    "emb_ann_pairs_multiprobe": q_emb_ann_pairs_multiprobe,
+    "emb_ivf_search": q_emb_ivf_search,
+    "emb_kmeans_centroids": q_emb_kmeans_centroids,
 }
 
 
@@ -1331,9 +1374,104 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.25
 """,
 }
 
+# Generated oracles (programmatic SQL to avoid hand-typo'd bit flips).
+
+_ANN_BUCKET_CTE = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)"""
+
+
+def _multiprobe_oracle(m: int = 8, threshold: float = 0.25) -> str:
+    probes = ["SELECT vec_id, embedding, bucket AS probe FROM b"]
+    for i in range(1, m + 1):
+        flip = (
+            f"substr(bucket, 1, {i - 1}) || "
+            f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr(bucket, {i + 1}, {m - i})"
+        )
+        probes.append(f"SELECT vec_id, embedding, {flip} FROM b")
+    return (
+        _ANN_BUCKET_CTE
+        + ", probes AS (" + " UNION ALL ".join(probes) + "),"
+        + """
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         l.embedding AS ea, r.embedding AS eb
+  FROM b l JOIN probes r ON l.bucket = r.probe AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+    round(sum(CAST(ea[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(ea[i.i] AS DOUBLE) * CAST(ea[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(eb[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM cand, range(1, 65) i(i)
+  GROUP BY 1, 2
+)
+SELECT DISTINCT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= """
+        + str(threshold)
+    )
+
+
+_IVF_SEARCH_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10
+),
+dots AS (
+  SELECT e.vec_id, c.centroid_id,
+    round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cv[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(c.cv[i.i] AS DOUBLE) * CAST(c.cv[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM embeddings e, cents c, range(1, 65) i(i)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM dots WHERE vec_id = 0
+  ORDER BY cos_sim DESC, centroid_id ASC LIMIT 2
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+in_probed AS (
+  SELECT a.vec_id FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> 0
+),
+scored AS (
+  SELECT e.vec_id,
+    round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM embeddings e JOIN in_probed USING (vec_id), q, range(1, 65) i(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim,
+  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY rank LIMIT 10
+"""
+
+ORACLES["emb_ann_pairs_multiprobe"] = _multiprobe_oracle()
+ORACLES["emb_ivf_search"] = _IVF_SEARCH_ORACLE
+
 # pipeline_delta_encode has no oracle: the encode order inside each
 # (key,value) group is engine-internal (row_number over ties); the driver
 # records the rows-only check and pytest proves encode∘decode == id.
+# pipeline_metrics_dp_records / emb_kmeans_centroids: no oracle (xxhash64
+# generator / iterative algorithm); both pytest-gated.
 
 
 def entry(spark: SparkSession) -> DataFrame:

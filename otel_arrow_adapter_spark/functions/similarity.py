@@ -104,26 +104,186 @@ def ann_pairs(
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_centroids: int = 10,
-    vec_col: str = "embedding",
+def seed_centroids(
+    embeddings: DataFrame, n_centroids: int, vec_col: str = "embedding"
 ) -> DataFrame:
-    """IVF coarse assignment: centroids = the first n seed vectors
-    (vec_id < n — deterministic stand-in for k-means; the operator shape
-    is identical with trained centroids). Returns (vec_id, centroid_id,
-    cos_sim) of the nearest centroid."""
-    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+    """Deterministic init: the first n vectors by vec_id. (k-means++ would
+    sample distance-weighted; deterministic-first keeps every downstream
+    result oracle-checkable.)"""
+    return embeddings.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+
+
+def assign_to_centroids(
+    embeddings: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, centroid_id, cos_sim) of each vector's nearest centroid.
+
+    Broadcast n×k scoring + max_by argmin — ONE map-side-combined shuffle
+    on vec_id, no window. At 10^9 vectors × 4096 centroids this is the
+    IVF coarse-quantization pass."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "centroid_id",
         F.round(cosine(F.col(vec_col), F.col("c_vec")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    # deterministic argmax: max over (cos_sim, -centroid_id) breaks ties
+    # toward the smaller centroid id
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("centroid_id")).alias("_nid"))).alias("_b")
+    )
+    return best.select(
+        "vec_id", (-F.col("_b._nid")).alias("centroid_id"), F.col("_b.cos_sim").alias("cos_sim")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 10,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse assignment against seed (default, oracle-checkable) or
+    trained centroids."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, n_centroids, vec_col)
+    return assign_to_centroids(embeddings, cents, vec_col)
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    n_centroids: int = 10,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd iterations for IVF centroids (cosine geometry:
+    centroids are L2-normalized means, so dot == cosine ranking).
+
+    Per iteration: broadcast k centroids, argmax-assign (one shuffle on
+    vec_id), recompute means by (centroid, dim) — posexplode to dim grain
+    so the mean is a plain map-side-combined agg, never a whole-vector
+    reduce on one task. Driver loop is k·iters jobs over broadcast-sized
+    state; the data-sized work stays fully distributed."""
+    dim_count = len(embeddings.select(vec_col).first()[0])
+    cents = seed_centroids(embeddings, n_centroids, vec_col)
+    # normalize so dot-product ranking == cosine ranking
+    cents = cents.select(
+        "centroid_id", F.transform("c_vec", lambda x: x / norm(F.col("c_vec"))).alias("c_vec")
+    )
+    for _ in range(iters):
+        assigned = assign_to_centroids(embeddings, cents, vec_col).select(
+            "vec_id", "centroid_id"
+        )
+        by_dim = (
+            embeddings.join(assigned, "vec_id")
+            .select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        new_cents = (
+            by_dim.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("c_vec")
+            )
+        )
+        new_cents = new_cents.select(
+            "centroid_id",
+            F.transform("c_vec", lambda x: x / norm(F.col("c_vec"))).alias("c_vec"),
+        )
+        cents = new_cents.persist()
+        assert len(cents.first()["c_vec"]) == dim_count
+    return cents
+
+
+def kmeans_inertia(
+    embeddings: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> float:
+    """Mean (1 - cos) to the assigned centroid — the convergence metric."""
+    a = assign_to_centroids(embeddings, centroids, vec_col)
+    return a.agg(F.avg(1 - F.col("cos_sim"))).first()[0]
+
+
+def ann_pairs_multiprobe(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH near-neighbor pairs: a pair is a candidate iff
+    their m-bit sign buckets differ in AT MOST ONE bit — one side joins on
+    its exact bucket, the other explodes to (m+1) probes (exact + each
+    single-bit flip). Recall strictly dominates the exact-bucket join at
+    the same m (the standard remedy for "more planes lose recall"); cost
+    is bounded at (m+1)x the probe-side rows, still never all-pairs."""
+    b = sign_lsh_buckets(embeddings, m, vec_col).select("vec_id", "bucket", vec_col)
+    flips = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring("bucket", i + 2, m - i - 1),
+        )
+        for i in range(m)
+    ]
+    probes = b.select("vec_id", vec_col, F.explode(F.array(*flips)).alias("probe"))
+    l, r = b.alias("l"), probes.alias("r")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "cos_sim")
+        l.join(r, F.col("l.bucket") == F.col("r.probe"))
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k: probe the query's n_probe nearest centroids, brute-force
+    ONLY inside those clusters — the 10^9-vector scale path (scanned
+    fraction ≈ n_probe / n_centroids). With n_probe == n_centroids this
+    degrades to exact brute-force (recall test anchor)."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, n_centroids, vec_col)
+    assigned = assign_to_centroids(embeddings, cents, vec_col).select("vec_id", "centroid_id")
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        # rounded like every other score so oracle ranking ties agree
+        .select("centroid_id", F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    in_probed = assigned.join(F.broadcast(probes), "centroid_id", "left_semi")
+    scored = (
+        embeddings.join(in_probed, "vec_id", "left_semi")
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"))
+    )
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("cos_sim")).alias("_neg"), "vec_id", "cos_sim"))
+    )
+    return (
+        top.agg(arr.alias("_v"))
+        .select(F.posexplode("_v").alias("_pos", "_s"))
+        .select(
+            F.col("_s.vec_id").alias("vec_id"),
+            F.col("_s.cos_sim").alias("cos_sim"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
     )

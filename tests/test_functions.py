@@ -225,3 +225,68 @@ def test_cosine_topk_distributed_plan(spark, emb):
     top = cosine_topk(emb, query_vec_id=0, k=5)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_kmeans_train_converges_and_normalizes(spark, emb):
+    from otel_arrow_adapter_spark.functions.similarity import (
+        kmeans_inertia,
+        kmeans_train,
+        seed_centroids,
+    )
+
+    seeds = seed_centroids(emb, 5).select(
+        "centroid_id",
+        F.transform(
+            "c_vec",
+            lambda x: x / F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, y: a + y * y)),
+        ).alias("c_vec"),
+    )
+    trained = kmeans_train(emb, n_centroids=5, iters=3)
+    # Lloyd must not worsen the objective vs the seed centroids
+    assert kmeans_inertia(emb, trained) <= kmeans_inertia(emb, seeds) + 1e-9
+    # centroids stay L2-normalized (cosine geometry)
+    norms = trained.select(
+        F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x).alias("n")
+    ).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-6 for r in norms)
+
+
+def test_ivf_search_full_probe_equals_bruteforce(spark, emb):
+    """n_probe == n_centroids degrades IVF to exact search — must equal
+    the brute-force top-k exactly."""
+    from otel_arrow_adapter_spark.functions.similarity import ivf_search
+
+    exact = [(r.vec_id, r.cos_sim, r.rank) for r in cosine_topk(emb, 0, k=5).collect()]
+    full = [
+        (r.vec_id, r.cos_sim, r.rank)
+        for r in ivf_search(emb, 0, k=5, n_centroids=10, n_probe=10).collect()
+    ]
+    assert full == exact
+    # partial probe returns a subset-quality result: k rows, sims from the
+    # probed clusters only, still sorted
+    part = ivf_search(emb, 0, k=5, n_centroids=10, n_probe=2).collect()
+    assert len(part) == 5
+    sims = [r.cos_sim for r in part]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multiprobe_recall_dominates_exact_bucket(spark, emb):
+    from otel_arrow_adapter_spark.functions.similarity import ann_pairs_multiprobe, cosine
+
+    exact_bucket = {(r.vec_a, r.vec_b) for r in ann_pairs(emb, threshold=0.25, m=8).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in ann_pairs_multiprobe(emb, threshold=0.25, m=8).collect()}
+    assert exact_bucket <= multi  # strictly more recall at the same m
+    l, r = emb.alias("l"), emb.alias("r")
+    brute = {
+        (row.vec_a, row.vec_b)
+        for row in (
+            l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(
+                F.col("l.vec_id").alias("vec_a"),
+                F.col("r.vec_id").alias("vec_b"),
+                cosine(F.col("l.embedding"), F.col("r.embedding")).alias("c"),
+            )
+            .where(F.col("c") >= 0.25)
+        ).collect()
+    }
+    assert multi <= brute
