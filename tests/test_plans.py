@@ -1,0 +1,112 @@
+"""Physical-plan quality gates: the plans we ship are the plans we'd want
+at 100x the data — filters reach the scan, projections prune columns,
+small sides broadcast, the fan-out pipeline scans its input once.
+(`.explain`-driven, the SURVEY §4 discipline.)"""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_and_projection_pushdown(spark):
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    plan = _plan(d)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    # column pruning: the scan must not read the table's other columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "quality" not in read_schema
+
+
+def test_enrich_is_broadcast_join(spark, transcripts, small_catalog):
+    from otel_arrow_adapter_spark.operators.enrich import enrich_with_catalog
+    from otel_arrow_adapter_spark.operators.parse import parse_turns
+
+    plan = _plan(enrich_with_catalog(parse_turns(transcripts), small_catalog))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the catalog must never shuffle the fact side
+
+
+def test_surrogate_ids_broadcast_both_dims(spark, transcripts):
+    from otel_arrow_adapter_spark.operators.normalize import assign_surrogate_ids
+    from otel_arrow_adapter_spark.operators.parse import parse_turns
+
+    plan = _plan(assign_surrogate_ids(parse_turns(transcripts)))
+    assert plan.count("BroadcastHashJoin") >= 2  # res dim + scope dim
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_counts_one_full_width_scan(spark, small_catalog, tmp_path):
+    """The flagship parse->enrich->route->count lineage must scan the full
+    payload exactly once (fan-out via one labeled projection, not per-sink
+    reads). The two surrogate-id dimension builds may re-scan, but ONLY
+    column-pruned to their dim columns — at 100 TB those are narrow-column
+    scans, never full-width re-reads."""
+    import re
+    import shutil
+
+    from otel_arrow_adapter_spark.datagen import transcripts_from_events
+    from otel_arrow_adapter_spark.plans import build_labeled
+
+    # distinct input path: the session fixture cached the same lineage over
+    # SF, and Spark's cache manager substitutes InMemoryRelation into any
+    # equivalent sub-plan, hiding the scan/pruning behavior under test
+    import os
+
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    src = f"{SF}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{tmp_path}/sf/events.parquet")
+    else:
+        shutil.copyfile(src, f"{tmp_path}/sf/events.parquet")
+    labeled = build_labeled(transcripts_from_events(spark, f"{tmp_path}/sf"), small_catalog)
+    counts = labeled.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(counts)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    full = [s for s in scans if "value" in s]  # the payload column
+    narrow = [s for s in scans if "value" not in s]
+    assert len(full) == 1, f"payload scanned {len(full)}x: {scans}"
+    assert all(s.count(",") <= 1 for s in narrow), f"dim scans not pruned: {narrow}"
+
+
+def test_no_unpartitioned_window_in_query_surface(spark):
+    """No query's physical plan may move the fact table into a single
+    unpartitioned Window (the round-1 scale-killer). Dimension-table ranks
+    are windowless (ranked_dim), so ANY empty partition spec is a bug."""
+    import __spark_entry__ as entrymod
+
+    # the queries that previously used global windows + a sample of others
+    suspects = [
+        "pipeline_delta_ids",
+        "pipeline_dict_tool",
+        "emb_cosine_topk",
+        "pipeline_delta_encode",
+        "doc_minhash_sig",
+    ]
+    qs = entrymod.QUERIES
+    for name in suspects:
+        df = qs[name](spark, SF)
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "Window " in line or line.strip().startswith("Window"):
+                # Spark prints 'windowspecdefinition(<order only>)' with no
+                # partition columns when the spec is empty
+                assert "windowspecdefinition(" not in line or not _empty_spec(line), (
+                    f"{name}: unpartitioned window: {line.strip()}"
+                )
+
+
+def _empty_spec(line: str) -> bool:
+    # empty partition spec renders as windowspecdefinition(<sort col> ASC ...
+    # vs partitioned: windowspecdefinition(p1, p2, <sort col> ASC ...
+    inner = line.split("windowspecdefinition(", 1)[1]
+    head = inner.split("ASC", 1)[0].split("DESC", 1)[0]
+    return "," not in head
