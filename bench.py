@@ -82,11 +82,34 @@ def burn(stop_at):
     return n
 if __name__ == "__main__":
     out = {}
-    for procs in (int(sys.argv[1]), int(sys.argv[2])):
+    for procs in [int(a) for a in sys.argv[1:]]:
         with mp.Pool(procs) as p:
             p.map(burn, [time.time() + 1] * procs)  # pool warm
             out[procs] = sum(p.map(burn, [time.time() + 5] * procs))
     print(json.dumps(out))
+"""
+
+_SORT_SIZES = r"""
+import sys, json, os
+sys.path.insert(0, {repo!r})
+from otel_arrow_adapter_spark.session import get_spark
+from otel_arrow_adapter_spark.datagen import synthesize_tool_catalog
+from otel_arrow_adapter_spark.plans import build_labeled
+from otel_arrow_adapter_spark.operators.route import SORT_STRATEGIES, write_routed
+
+cores, in_path, out_base = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spark = get_spark(app_name="oaas-sortbench", cores=cores, shuffle_partitions=cores)
+t = spark.read.parquet(in_path)
+labeled = build_labeled(t, synthesize_tool_catalog(spark, n_tools=45))
+sizes = {{}}
+for strat in SORT_STRATEGIES:
+    sub = f"routed_{{strat}}"
+    write_routed(labeled, out_base, subdir=sub, sort_strategy=strat)
+    total = 0
+    for root, _, files in os.walk(f"{{out_base}}/{{sub}}"):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    sizes[strat] = total
+print(json.dumps(sizes))
 """
 
 
@@ -101,14 +124,34 @@ def pipeline_in_subprocess(cores: int, in_path: str, out_dir: str, repeats: int 
     return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
 
 
-def cpu_probe(n: int, n4: int) -> dict[str, float]:
-    """Pure-CPU scaling probe: what the host itself delivers from n -> n4
-    procs (JVM-free; bounds any engine's achievable efficiency)."""
-    r = subprocess.run([sys.executable, "-c", _BURN, str(n), str(n4)],
+def cpu_probe(*proc_counts: int) -> dict[str, float]:
+    """Pure-CPU scaling probe: burn-units the host delivers at each proc
+    count (JVM-free; bounds any engine's achievable efficiency). Measured
+    LIVE each run so BASELINE.md never reports stale constants."""
+    r = subprocess.run([sys.executable, "-c", _BURN, *[str(p) for p in proc_counts]],
                        capture_output=True, text=True, check=True)
-    units = json.loads(r.stdout.strip().splitlines()[-1])
-    return {"units_n": units[str(n)], "units_4n": units[str(n4)],
-            "host_efficiency": round(units[str(n4)] / units[str(n)] / (n4 / n), 3)}
+    return {int(k): v for k, v in json.loads(r.stdout.strip().splitlines()[-1]).items()}
+
+
+def host_steal_ratio() -> float:
+    """steal/user CPU-tick ratio since boot (/proc/stat cpu line)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    user, steal = int(parts[1]), int(parts[8])
+    return steal / user if user else 0.0
+
+
+def sort_strategy_sizes(cores: int, in_path: str, out_base: str) -> dict[str, int]:
+    """Output parquet bytes per sort-for-compression strategy (the
+    reference's measured-ratio discipline, metrics/arrow/config.go:92-101)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _SORT_SIZES.format(repo=repo)
+    r = subprocess.run(
+        [sys.executable, "-c", code, str(cores), in_path, out_base],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_DRIVER_MEM": "12g"},
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -136,7 +179,12 @@ def main() -> None:
     t_full = pipeline_in_subprocess(CPUS, in_path, f"{WORK}/out_full", repeats=max(2, REPEATS - 1))
     t_4n = pipeline_in_subprocess(scale_4n, in_path, f"{WORK}/out_4n")
     t_n = pipeline_in_subprocess(scale_n, in_path, f"{WORK}/out_n", repeats=max(2, REPEATS - 1))
-    probe = cpu_probe(scale_n, scale_4n)
+    # probe BOTH pairs live: (N, 4N) and the driver's configured (8, 32)
+    units = cpu_probe(*sorted({scale_n, scale_4n, 8, CPUS}))
+    probe_n4n = round(units[scale_4n] / units[scale_n] / (scale_4n / scale_n), 3)
+    probe_8full = round(units[CPUS] / units[8] / (CPUS / 8), 3) if CPUS != 8 else 1.0
+    steal = host_steal_ratio()
+    sort_sizes = sort_strategy_sizes(CPUS, in_path, f"{WORK}/sortbench")
 
     tp_full = n_turns / t_full
     tp_n, tp_4n = n_turns / t_n, n_turns / t_4n
@@ -155,7 +203,10 @@ def main() -> None:
         "throughput_n_turns_per_sec": round(tp_n, 1),
         "throughput_4n_turns_per_sec": round(tp_4n, 1),
         "scaling_efficiency": round(efficiency, 3),
-        "host_cpu_probe_efficiency_n_to_4n": probe["host_efficiency"],
+        "host_cpu_probe_efficiency_n_to_4n": probe_n4n,
+        "host_cpu_probe_efficiency_8_to_full": probe_8full,
+        "host_steal_per_user_ratio": round(steal, 3),
+        "sort_strategy_bytes": sort_sizes,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -172,17 +223,28 @@ def main() -> None:
             f"| local[{CPUS}] (full fleet) | {t_full:.1f} | {tp_full:,.0f} |\n\n"
             f"**Scaling efficiency (N={scale_n} -> 4N={scale_4n}): {efficiency:.3f}**"
             " (target >= 0.8)\n\n"
-            "## Why N=2/4N=8 and not 8/32\n\n"
+            f"## Why N={scale_n}/4N={scale_4n} and not 8/{CPUS}\n\n"
             "The sandbox host is an oversubscribed shared VM. A pure-CPU burn probe\n"
             "(multiprocessing, no JVM, no memory traffic — an upper bound for ANY\n"
-            f"engine) delivers {probe['host_efficiency']:.2f} efficiency from "
-            f"{scale_n} to {scale_4n} procs this run,\n"
-            "but only ~0.71 from 8 to 32 procs (measured: 21.2k burn-units at 8 procs\n"
-            "vs 60.0k at 32; /proc/stat shows historical steal ~19% of user time).\n"
-            "8 -> 32 therefore cannot evidence engine scaling on this box; 2 -> 8 is\n"
-            "inside the host's linear region. The full-fleet local[32] row shows\n"
+            "engine), measured live THIS run:\n\n"
+            "| procs | burn-units (5s) |\n|---|---|\n"
+            + "".join(f"| {p} | {units[p]:,} |\n" for p in sorted(units))
+            + f"\n- host efficiency {scale_n} -> {scale_4n}: **{probe_n4n:.2f}**\n"
+            f"- host efficiency 8 -> {CPUS}: **{probe_8full:.2f}**\n"
+            f"- /proc/stat steal/user ratio since boot: {steal:.2f}\n\n"
+            f"When the 8 -> {CPUS} probe sits well under 0.8, that pair cannot\n"
+            f"evidence engine scaling on this box regardless of engine; the\n"
+            f"{scale_n} -> {scale_4n} pair is inside the host's linear region and is\n"
+            "the honest stand-in for adding 4x executors to a cluster that\n"
+            f"actually has the cores. The full-fleet local[{CPUS}] row shows\n"
             "absolute throughput at the driver's configured parallelism.\n\n"
-            f"Per-query timings at {SF_DIR}: see BENCH_r*.json.\n"
+            "## Sort-for-compression strategy sizes (O1-O3 measured ratios)\n\n"
+            "Routed-output parquet bytes per strategy over the same input\n"
+            "(the reference records measured ratios per sorter,\n"
+            "metrics/arrow/config.go:92-101):\n\n"
+            "| strategy | bytes |\n|---|---|\n"
+            + "".join(f"| {k} | {v:,} |\n" for k, v in sorted(sort_sizes.items()))
+            + f"\nPer-query timings at {SF_DIR}: see BENCH_r*.json.\n"
         )
     print(json.dumps(result))
 

@@ -61,6 +61,31 @@ SEVERITY_NUMBER = {"TRACE": 1, "DEBUG": 5, "INFO": 9, "WARN": 13, "ERROR": 17, "
 # (/root/reference/pkg/otel/common/arrow/attributes_16.go:131-196).
 BODY_STR, BODY_INT, BODY_DOUBLE, BODY_BOOL, BODY_BYTES, BODY_SER = 1, 2, 3, 4, 5, 6
 
+# Full body union shape (P5): tag + one nullable column per arm, exactly
+# the log-body encoding of /root/reference/pkg/otel/logs/arrow/logs.go:289-400
+# (nested slice/map -> `ser`, the CBOR/JSON escape hatch). Transcript
+# payloads are text, so parse always emits a str body; `make_body` /
+# `body_value` are the general constructors/decoders for typed bodies.
+BODY_ARMS = {"str": "string", "int": "long", "double": "double",
+             "bool": "boolean", "bytes": "binary", "ser": "string"}
+BODY_TAG = {"str": BODY_STR, "int": BODY_INT, "double": BODY_DOUBLE,
+            "bool": BODY_BOOL, "bytes": BODY_BYTES, "ser": BODY_SER}
+
+
+def make_body(value: Column, kind: str) -> Column:
+    """Typed body struct with exactly one populated arm."""
+    fields = [F.lit(BODY_TAG[kind]).cast("tinyint").alias("body_type")]
+    for arm, t in BODY_ARMS.items():
+        v = value.cast(t) if arm == kind else F.lit(None).cast(t)
+        fields.append(v.alias(arm))
+    return F.struct(*fields)
+
+
+def body_value(body: Column, kind: str) -> Column:
+    """Decode mirror (logs.go:165-228 dispatch): the arm named by the tag,
+    null when the tag doesn't match ``kind``."""
+    return F.when(body["body_type"] == BODY_TAG[kind], body[kind])
+
 
 def _x(col: Column, pattern: str) -> Column:
     """regexp_extract with '' -> null (P6 non-default suppression)."""
@@ -180,11 +205,8 @@ def parse_turns(df: DataFrame) -> DataFrame:
             when_sig("trace", _vfield(kv, "span")).alias("span_hex"),
             when_sig("trace", _vfield(kv, "parent")).alias("parent_hex"),
             when_sig("trace", _vfield(kv, "dur_ms")).try_cast("long").alias("dur_ms"),
-            # body union (always str-typed for text payloads; tag kept for parity
-            # with the reference's 7-way union)
-            F.struct(
-                F.lit(BODY_STR).cast("tinyint").alias("body_type"),
-                msg.alias("str"),
-            ).alias("body"),
+            # body union (str-typed for text payloads; full union shape so
+            # typed bodies flow through the same schema)
+            make_body(msg, "str").alias("body"),
         )
     )

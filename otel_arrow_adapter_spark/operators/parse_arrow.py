@@ -68,7 +68,8 @@ _ADDED_DDL = (
     "severity_number int, msg string, code long, retry boolean, "
     "metric_name string, metric_value long, metric_unit string, "
     "span_hex string, parent_hex string, dur_ms long, "
-    "body struct<body_type: tinyint, str: string>"
+    "body struct<body_type: tinyint, str: string, int: bigint, double: double, "
+    "bool: boolean, bytes: binary, ser: string>"
 )
 
 
@@ -117,8 +118,16 @@ def _make_map_batches(sev_map: dict[str, int], body_str_tag: int):
 
             n = len(text)
             body = pa.StructArray.from_arrays(
-                [pa.array(np.full(n, body_str_tag, dtype=np.int8)), msg],
-                names=["body_type", "str"],
+                [
+                    pa.array(np.full(n, body_str_tag, dtype=np.int8)),
+                    msg,
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.float64()),
+                    pa.nulls(n, pa.bool_()),
+                    pa.nulls(n, pa.binary()),
+                    pa.nulls(n, pa.string()),
+                ],
+                names=["body_type", "str", "int", "double", "bool", "bytes", "ser"],
             )
 
             yield pa.RecordBatch.from_arrays(

@@ -49,12 +49,13 @@ _SINK_FIELDS = {
 # strategies here; bench.py writes the output-bytes-per-strategy table into
 # BENCH/BASELINE.md (the reference's measured-ratio discipline).
 SORT_STRATEGIES = {
-    # resource-first: the reference defaults (res, scope, ...)
+    # resource-first: the reference defaults (res, scope, ...). Aligned so
+    # shared positions compile to NATIVE column sorts (see sink_sort_exprs).
     "default": {
-        "logs": ["res_id", "scope_id", "conv_id", "turn_idx"],
+        "logs": ["res_id", "scope_id", "severity_text", "conv_id", "turn_idx"],
         "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
-        "traces": ["res_id", "scope_id", "ts", "span_hex"],
-        "quarantine": ["conv_id", "turn_idx"],
+        "traces": ["res_id", "scope_id", "span_hex", "conv_id", "turn_idx"],
+        "quarantine": ["res_id", "scope_id", "error", "conv_id", "turn_idx"],
     },
     # name/time-first: the alternative metric sorter (type, name, res, scope)
     # and the startTimestamp-first span sorter
@@ -70,27 +71,38 @@ SINK_SORT_KEYS = SORT_STRATEGIES["default"]
 
 def sink_sort_exprs(df: DataFrame, strategy: dict[str, list[str]]) -> list[Column]:
     """One unified sortWithinPartitions key list that applies each sink's
-    OWN sort inside the single dynamic-partition write: position i is a
-    CASE over sink of that sink's i-th key. Numeric keys are zero-padded so
-    string ordering preserves numeric order (ids/indices are non-negative);
-    a per-sink branch would mean per-sink passes — this keeps one pass."""
+    OWN sort inside the single dynamic-partition write: position i is that
+    sink's i-th key. Cost discipline: when every sink names the SAME column
+    at position i the sort key is the native column (no expression at all);
+    a divergent position becomes a CASE, cast to a shared native type when
+    the branches agree on type, and only zero-padded strings for genuinely
+    mixed numeric/string positions (string keys per row were measured ~2x
+    on the 17.8M-row write). A per-sink branch would mean per-sink passes —
+    this keeps one pass."""
     types = dict(df.dtypes)
-
-    def as_sortable(name: str) -> Column:
-        c = F.col(name).cast("string")
-        if types.get(name) in ("tinyint", "smallint", "int", "bigint"):
-            return F.lpad(c, 20, "0")
-        return c
+    _NUM = ("tinyint", "smallint", "int", "bigint")
 
     exprs: list[Column] = [F.col("sink")]
     for i in range(max(len(v) for v in strategy.values())):
+        at_i = {s: keys[i] for s, keys in strategy.items() if i < len(keys)}
+        names = set(at_i.values())
+        if len(names) == 1:
+            exprs.append(F.col(names.pop()))
+            continue
+        arm_types = {types.get(n, "string") for n in names}
+        if len(arm_types) == 1:
+            cast_to = arm_types.pop()
+            conv = lambda n: F.col(n)  # noqa: E731 — same type, no cast
+        elif arm_types <= set(_NUM):
+            conv = lambda n: F.col(n).cast("bigint")  # noqa: E731
+        else:
+            def conv(n):  # mixed types: order-preserving string form
+                c = F.col(n).cast("string")
+                return F.lpad(c, 20, "0") if types.get(n) in _NUM else c
         e = None
-        for sink, keys in strategy.items():
-            if i < len(keys):
-                cond = F.col("sink") == sink
-                e = F.when(cond, as_sortable(keys[i])) if e is None else e.when(
-                    cond, as_sortable(keys[i])
-                )
+        for sink, key in at_i.items():
+            cond = F.col("sink") == sink
+            e = F.when(cond, conv(key)) if e is None else e.when(cond, conv(key))
         exprs.append(e)
     return exprs
 
@@ -215,11 +227,10 @@ def weighted_split(
 def read_sinks(spark: SparkSession, out_dir: str, subdir: str = "routed") -> dict[str, DataFrame]:
     """Read the unified routed table back as per-sink typed views,
     re-deriving the logical-only columns (body struct, binary span ids)."""
+    from .parse import make_body
+
     routed = spark.read.parquet(f"{out_dir}/{subdir}")
-    routed = routed.withColumn(
-        "body",
-        F.struct(F.lit(1).cast("tinyint").alias("body_type"), F.col("msg").alias("str")),
-    )
+    routed = routed.withColumn("body", make_body(F.col("msg"), "str"))
     routed = _trace_ids(routed)
     cols = set(routed.columns)
     enrich_cols = [c for c in ("service_name", "resource_attrs") if c in cols]

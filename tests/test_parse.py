@@ -120,3 +120,31 @@ def test_melt_full_anyvalue_union(spark, transcripts):
     sb = attrs.where(F.col("key") == "span_bytes").select(F.lower(F.hex("bytes")).alias("h"))
     sp = parsed.where(F.col("span_hex").isNotNull()).select(F.col("span_hex").alias("h"))
     assert sb.exceptAll(sp).count() == 0 and sp.exceptAll(sb).count() == 0
+
+
+def test_body_union_all_arms_roundtrip(spark):
+    """P5: typed bodies flow through the full union shape and decode back
+    via the tag dispatch (logs.go:289-400 encode / logs.go:165-228 decode)."""
+    from otel_arrow_adapter_spark.operators.parse import BODY_ARMS, body_value, make_body
+
+    df = spark.createDataFrame(
+        [("abc", 7, 1.5, True, "0a0b", '{"k":1}')],
+        "s string, i long, d double, b boolean, hx string, j string",
+    )
+    src = {
+        "str": F.col("s"),
+        "int": F.col("i"),
+        "double": F.col("d"),
+        "bool": F.col("b"),
+        "bytes": F.unhex("hx"),
+        "ser": F.col("j"),
+    }
+    bodies = df.select(*[make_body(src[k], k).alias(f"body_{k}") for k in BODY_ARMS])
+    row = bodies.select(
+        *[body_value(F.col(f"body_{k}"), k).alias(k) for k in BODY_ARMS],
+        # cross-arm dispatch must null out (tag mismatch)
+        body_value(F.col("body_int"), "str").alias("wrong"),
+    ).collect()[0]
+    assert row["str"] == "abc" and row["int"] == 7 and row["double"] == 1.5
+    assert row["bool"] is True and row["bytes"] == b"\x0a\x0b" and row["ser"] == '{"k":1}'
+    assert row["wrong"] is None

@@ -12,9 +12,23 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_parquet_filter_and_projection_pushdown(spark):
+def _copy_input(src: str, dst: str) -> None:
+    import os
+    import shutil
+
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copyfile(src, dst)
+
+
+def test_parquet_filter_and_projection_pushdown(spark, tmp_path):
+    # distinct path: other suites cache documents.parquet, and Spark's cache
+    # manager substitutes InMemoryRelation into equivalent scans, masking
+    # the pushdown under test
+    _copy_input(f"{SF}/documents.parquet", f"{tmp_path}/documents.parquet")
     d = (
-        spark.read.parquet(f"{SF}/documents.parquet")
+        spark.read.parquet(f"{tmp_path}/documents.parquet")
         .where(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
@@ -50,8 +64,8 @@ def test_pipeline_counts_one_full_width_scan(spark, small_catalog, tmp_path):
     reads). The two surrogate-id dimension builds may re-scan, but ONLY
     column-pruned to their dim columns — at 100 TB those are narrow-column
     scans, never full-width re-reads."""
+    import os
     import re
-    import shutil
 
     from otel_arrow_adapter_spark.datagen import transcripts_from_events
     from otel_arrow_adapter_spark.plans import build_labeled
@@ -59,14 +73,8 @@ def test_pipeline_counts_one_full_width_scan(spark, small_catalog, tmp_path):
     # distinct input path: the session fixture cached the same lineage over
     # SF, and Spark's cache manager substitutes InMemoryRelation into any
     # equivalent sub-plan, hiding the scan/pruning behavior under test
-    import os
-
     os.makedirs(f"{tmp_path}/sf", exist_ok=True)
-    src = f"{SF}/events.parquet"
-    if os.path.isdir(src):
-        shutil.copytree(src, f"{tmp_path}/sf/events.parquet")
-    else:
-        shutil.copyfile(src, f"{tmp_path}/sf/events.parquet")
+    _copy_input(f"{SF}/events.parquet", f"{tmp_path}/sf/events.parquet")
     labeled = build_labeled(transcripts_from_events(spark, f"{tmp_path}/sf"), small_catalog)
     counts = labeled.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
     plan = _plan(counts)
