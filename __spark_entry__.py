@@ -407,7 +407,11 @@ def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame
     from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_nested
     from otel_arrow_adapter_spark.operators.metrics_dp import encode_metrics
 
-    records = encode_metrics(synthesize_metrics_nested(spark, n_metrics=300))
+    # persist: 9 per-record count branches would otherwise each re-run the
+    # generator's shuffles; the cached 300-row nested table makes each
+    # branch a local explode+agg
+    nested = synthesize_metrics_nested(spark, n_metrics=300).persist()
+    records = encode_metrics(nested)
     parts = [
         df.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("record"), "n_rows")
         for name, df in sorted(records.items())
