@@ -601,14 +601,17 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (the all-pairs inverted-index join is quadratic on hot
     shingles; candidates bound it)."""
     from otel_arrow_adapter_spark.functions.dedup import (
+        doc_shingles,
         jaccard_pairs,
         lsh_candidates,
         minhash_signature,
     )
 
     dp = _docs_plus(spark, sf_dir)
-    cand = lsh_candidates(minhash_signature(dp, num_hashes=8), num_hashes=8, bands=4)
-    return jaccard_pairs(dp, threshold=0.5, candidates=cand)
+    # ONE shingling pass shared by the minhash and the exact-verify join
+    sh = doc_shingles(dp).persist()
+    cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
+    return jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,7 +73,12 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
     )
 
 
-def minhash_signature(docs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, k: int = 3) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): lexicographic min-hash per shingle set.
 
     Hash family: 8-hex-char slices of salted md5(shingle) — one md5 yields
@@ -83,8 +88,10 @@ def minhash_signature(docs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, k: 
     not be). Shape: one explode + one groupBy with n min() aggregates —
     a single map-side-combined shuffle; the aggregation also acts as a
     pipeline breaker so downstream banding doesn't re-expand the shingle
-    expressions (projection collapse would otherwise duplicate them)."""
-    sh = doc_shingles(docs, k)
+    expressions (projection collapse would otherwise duplicate them).
+    Pass a (persisted) ``shingles`` table to share one shingling pass with
+    other consumers (jaccard verify) — shingling is the expensive half."""
+    sh = doc_shingles(docs, k) if shingles is None else shingles
     aggs = []
     for i in range(num_hashes):
         salt, slot = divmod(i, 4)
@@ -138,6 +145,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all (or candidate) pairs.
 
@@ -151,7 +159,7 @@ def jaccard_pairs(
     shingles explode quadratically at scale. The exact candidate-PAIR
     filter still applies after the aggregate (two candidate docs are not
     necessarily a candidate pair)."""
-    sh = doc_shingles(docs, k)
+    sh = doc_shingles(docs, k) if shingles is None else shingles
     if candidates is not None:
         candidates = candidates.persist()  # used 2x: doc-id set + pair filter
         cand_docs = (
