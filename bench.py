@@ -168,11 +168,18 @@ def main() -> None:
         ).write.mode("overwrite").option("compression", "zstd").parquet(in_path)
     n_turns = spark.read.parquet(in_path).count()
 
+    # Per-query timing: one warm-up execution (JVM codegen + Python-worker
+    # spin-up dominate first runs: measured 18.4s -> 1.5s on the pandas-UDF
+    # simhash), then the timed run with caches cleared in between so the
+    # number is steady-state COMPUTE, not a cache hit.
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        fn(spark, SF_DIR).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
     spark.stop()
 
     scale_n, scale_4n = SCALE_N, SCALE_N * 4
@@ -195,6 +202,7 @@ def main() -> None:
         "value": round(t_full, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_timing": "steady_state_after_warmup_caches_cleared",
         "sf": SF_DIR,
         "turns": n_turns,
         "cores_full": CPUS,
