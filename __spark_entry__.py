@@ -380,6 +380,27 @@ def q_pipeline_metrics_hist_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_metrics_exp_hist_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpHistogramDP rollup: base-2 exponential buckets at scale 0
+    (ehistogram_dp.go:47-64 shape). The bucket exponent is computed as the
+    binary-digit count so both engines agree exactly (libm log2 is not
+    cross-engine deterministic at boundaries)."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+
+    eh = exp_histogram_rollup(_metric_points(spark, sf_dir), max_buckets=18)
+    return eh.select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        F.to_json("positive_bucket_counts").alias("positive_bucket_counts"),
+        "min",
+        "max",
+    )
+
+
 def q_pipeline_metrics_summary_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SummaryDP rollup: count/sum + exact quantile values
     (summary_dp.go:36 shape; percentile_approx is the 10^12-row path)."""
@@ -797,6 +818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_delta_ids": q_pipeline_delta_ids,
     "pipeline_metrics_number_dp": q_pipeline_metrics_number_dp,
     "pipeline_metrics_hist_dp": q_pipeline_metrics_hist_dp,
+    "pipeline_metrics_exp_hist_dp": q_pipeline_metrics_exp_hist_dp,
     "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
     "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
     "pipeline_metrics_dp_records": q_pipeline_metrics_dp_records,
@@ -1037,6 +1059,31 @@ SELECT metric_name, metric_unit,
     sum(CASE WHEN v > 5000 AND v <= 50000 THEN 1 ELSE 0 END)::BIGINT,
     sum(CASE WHEN v > 50000 THEN 1 ELSE 0 END)::BIGINT)) AS VARCHAR) AS bucket_counts
 FROM pts GROUP BY 1, 2
+""",
+    "pipeline_metrics_exp_hist_dp": _CTE + """
+, pts AS (
+  SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+), idxd AS (
+  SELECT metric_name, metric_unit, v,
+    CASE WHEN v > 0 THEN length(to_base(v, 2)) - 1 END AS i
+  FROM pts
+)
+SELECT metric_name, metric_unit,
+  count(v) AS "count",
+  CAST(sum(v) AS DOUBLE) AS "sum",
+  CAST(0 AS INTEGER) AS scale,
+  sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS zero_count,
+  CAST(to_json(list_value(
+""" + ",\n".join(
+        f"    sum(CASE WHEN i = {i} THEN 1 ELSE 0 END)::BIGINT" for i in range(17)
+    ) + """,
+    sum(CASE WHEN i >= 17 THEN 1 ELSE 0 END)::BIGINT)) AS VARCHAR) AS positive_bucket_counts,
+  CAST(min(v) AS DOUBLE) AS "min",
+  CAST(max(v) AS DOUBLE) AS "max"
+FROM idxd GROUP BY 1, 2
 """,
     "pipeline_metrics_summary_dp": _CTE + """
 , pts AS (

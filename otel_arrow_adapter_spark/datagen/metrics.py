@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 # Metric type tags (reference MetricType u8, metrics.go:41; values follow
 # the pmetric enum order loosely: gauge/sum collapse to "number" here).
-MT_NUMBER, MT_HISTOGRAM, MT_SUMMARY = 1, 2, 3
+MT_NUMBER, MT_HISTOGRAM, MT_SUMMARY, MT_EXP_HISTOGRAM = 1, 2, 3, 4
 
 _EPOCH = 1_704_067_200_000_000  # 2024-01-01 UTC, µs
 
@@ -69,7 +69,7 @@ def synthesize_metrics_nested(
     base = (
         spark.range(0, n_metrics, 1, partitions)
         .withColumn("h", F.abs(F.xxhash64("id", F.lit(seed))))
-        .withColumn("metric_type", (F.pmod(F.col("h"), F.lit(3)) + 1).cast("tinyint"))
+        .withColumn("metric_type", (F.pmod(F.col("h"), F.lit(4)) + 1).cast("tinyint"))
         .withColumn("n_dps", (F.pmod(F.col("h"), F.lit(4)) + 1).cast("int"))
     )
 
@@ -108,6 +108,12 @@ def synthesize_metrics_nested(
                 for q in (0.5, 0.9, 0.99)
             ]
         ).alias("quantile_values"),
+        F.lit(0).cast("int").alias("scale"),
+        F.pmod(h + d, F.lit(3)).alias("zero_count"),
+        F.lit(0).cast("int").alias("positive_offset"),
+        F.array(*[F.pmod(h + d + 7 * i, F.lit(15)) for i in range(4)]).alias(
+            "positive_bucket_counts"
+        ),
         _attrs(h, d).alias("attrs"),
         F.pmod(h + d, F.lit(3)).cast("int").alias("n_ex"),
     )
@@ -181,6 +187,30 @@ def synthesize_metrics_nested(
             ).alias("hist_dps")
         )
     )
+    exp_hist = (
+        dp.where(F.col("metric_type") == MT_EXP_HISTOGRAM)
+        .groupBy("gen_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "start_ts_us",
+                        "ts_us",
+                        "count",
+                        "sum",
+                        "scale",
+                        "zero_count",
+                        "positive_offset",
+                        "positive_bucket_counts",
+                        "min",
+                        "max",
+                        "exemplars",
+                        "attrs",
+                    )
+                )
+            ).alias("exp_hist_dps")
+        )
+    )
     summary = (
         dp.where(F.col("metric_type") == MT_SUMMARY)
         .groupBy("gen_id")
@@ -213,6 +243,7 @@ def synthesize_metrics_nested(
         )
         .join(number, "gen_id", "left")
         .join(hist, "gen_id", "left")
+        .join(exp_hist, "gen_id", "left")
         .join(summary, "gen_id", "left")
     )
     ndp_t = (
@@ -224,6 +255,12 @@ def synthesize_metrics_nested(
         "bucket_counts:array<bigint>,explicit_bounds:array<double>,min:double,max:double,"
         f"exemplars:{EXEMPLARS_T},attrs:{ATTRS_T}>>"
     )
+    edp_t = (
+        "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
+        "scale:int,zero_count:bigint,positive_offset:int,"
+        "positive_bucket_counts:array<bigint>,min:double,max:double,"
+        f"exemplars:{EXEMPLARS_T},attrs:{ATTRS_T}>>"
+    )
     sdp_t = (
         "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
         "quantile_values:array<struct<quantile:double,value:double>>,"
@@ -232,5 +269,6 @@ def synthesize_metrics_nested(
     return (
         out.withColumn("number_dps", F.coalesce("number_dps", F.array().cast(ndp_t)))
         .withColumn("hist_dps", F.coalesce("hist_dps", F.array().cast(hdp_t)))
+        .withColumn("exp_hist_dps", F.coalesce("exp_hist_dps", F.array().cast(edp_t)))
         .withColumn("summary_dps", F.coalesce("summary_dps", F.array().cast(sdp_t)))
     )

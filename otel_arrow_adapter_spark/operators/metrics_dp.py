@@ -39,11 +39,14 @@ DP_SORT_KEYS = {
     "metrics": ["res_id", "scope_id", "metric_type", "name"],
     "number_dp": ["parent_id", "ts_us"],
     "hist_dp": ["parent_id", "ts_us"],
+    "exp_hist_dp": ["parent_id", "ts_us"],
     "summary_dp": ["parent_id", "ts_us"],
     "number_dp_exemplar": ["parent_id", "ts_us"],
     "hist_dp_exemplar": ["parent_id", "ts_us"],
+    "exp_hist_dp_exemplar": ["parent_id", "ts_us"],
     "number_dp_attrs": ["key", "str", "parent_id"],
     "hist_dp_attrs": ["key", "str", "parent_id"],
+    "exp_hist_dp_attrs": ["key", "str", "parent_id"],
     "summary_dp_attrs": ["key", "str", "parent_id"],
 }
 
@@ -148,6 +151,24 @@ def encode_metrics(nested: DataFrame, id_key: tuple[str, ...] = ("gen_id",)) -> 
     records["hist_dp_exemplar"] = _exemplar_record(hdp)
     records["hist_dp_attrs"] = _attrs_record(hdp)
 
+    edp = _explode_dps(m, "exp_hist_dps")
+    records["exp_hist_dp"] = edp.select(
+        "id",
+        "parent_id",
+        F.col("dp.start_ts_us").alias("start_ts_us"),
+        F.col("dp.ts_us").alias("ts_us"),
+        F.col("dp.count").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.col("dp.scale").alias("scale"),
+        F.col("dp.zero_count").alias("zero_count"),
+        F.col("dp.positive_offset").alias("positive_offset"),
+        F.col("dp.positive_bucket_counts").alias("positive_bucket_counts"),
+        F.col("dp.min").alias("min"),
+        F.col("dp.max").alias("max"),
+    )
+    records["exp_hist_dp_exemplar"] = _exemplar_record(edp)
+    records["exp_hist_dp_attrs"] = _attrs_record(edp)
+
     sdp = _explode_dps(m, "summary_dps")
     records["summary_dp"] = sdp.select(
         "id",
@@ -236,6 +257,29 @@ def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("hist_dps")
     )
+    edp = _nest_children(
+        records["exp_hist_dp"], records["exp_hist_dp_exemplar"], records["exp_hist_dp_attrs"]
+    )
+    exp_hist = edp.groupBy("parent_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "start_ts_us",
+                    "ts_us",
+                    "count",
+                    "sum",
+                    "scale",
+                    "zero_count",
+                    "positive_offset",
+                    "positive_bucket_counts",
+                    "min",
+                    "max",
+                    "exemplars",
+                    "attrs",
+                )
+            )
+        ).alias("exp_hist_dps")
+    )
     sdp = _nest_children(records["summary_dp"], None, records["summary_dp_attrs"])
     summ = sdp.groupBy("parent_id").agg(
         F.sort_array(
@@ -246,7 +290,12 @@ def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
     )
     m = records["metrics"]
     out = m
-    for child, cname in ((number, "number_dps"), (hist, "hist_dps"), (summ, "summary_dps")):
+    for child, cname in (
+        (number, "number_dps"),
+        (hist, "hist_dps"),
+        (exp_hist, "exp_hist_dps"),
+        (summ, "summary_dps"),
+    ):
         out = out.join(child, out["id"] == child["parent_id"], "left").drop("parent_id")
     # absent family -> empty array (matches the generator's empty arrays)
     ndp_t = (
@@ -260,6 +309,13 @@ def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
         "exemplars:array<struct<ts_us:bigint,int_value:bigint,double_value:double,"
         "span_hex:string,trace_hex:string>>,attrs:array<struct<key:string,str:string>>>>"
     )
+    edp_t = (
+        "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
+        "scale:int,zero_count:bigint,positive_offset:int,"
+        "positive_bucket_counts:array<bigint>,min:double,max:double,"
+        "exemplars:array<struct<ts_us:bigint,int_value:bigint,double_value:double,"
+        "span_hex:string,trace_hex:string>>,attrs:array<struct<key:string,str:string>>>>"
+    )
     sdp_t = (
         "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
         "quantile_values:array<struct<quantile:double,value:double>>,"
@@ -268,6 +324,7 @@ def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
     return (
         out.withColumn("number_dps", F.coalesce("number_dps", F.array().cast(ndp_t)))
         .withColumn("hist_dps", F.coalesce("hist_dps", F.array().cast(hdp_t)))
+        .withColumn("exp_hist_dps", F.coalesce("exp_hist_dps", F.array().cast(edp_t)))
         .withColumn("summary_dps", F.coalesce("summary_dps", F.array().cast(sdp_t)))
     )
 
@@ -313,6 +370,39 @@ def histogram_rollup(
         F.max(v).cast("double").alias("max"),
         F.array(*in_bucket).alias("bucket_counts"),
         F.array(*[F.lit(float(b)) for b in bounds]).alias("explicit_bounds"),
+    )
+
+
+def exp_histogram_rollup(
+    points: DataFrame,
+    max_buckets: int = 18,
+    value_col: str = "metric_value",
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+) -> DataFrame:
+    """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape): base-2
+    exponential buckets at scale 0 — positive bucket index =
+    floor(log2(v)), computed EXACTLY as the binary-digit count
+    (length(conv(v, 10, 2)) - 1) so Spark and the DuckDB oracle agree
+    bit-for-bit (libm log2 is not cross-engine deterministic at bucket
+    boundaries). Values <= 0 land in zero_count. Bucket convention:
+    index i counts [2^i, 2^(i+1)) — lower-inclusive, chosen for the exact
+    integer computation; the reference stores whatever its SDK computed.
+    One map-side-combined groupBy, no window."""
+    v = F.col(value_col)
+    idx = F.when(v > 0, F.length(F.conv(v.cast("string"), 10, 2)) - 1)
+    pos = [
+        F.sum(F.when(idx == i, 1).otherwise(0)).cast("long") for i in range(max_buckets - 1)
+    ]
+    pos.append(F.sum(F.when(idx >= max_buckets - 1, 1).otherwise(0)).cast("long"))
+    return points.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("count"),
+        F.sum(v).cast("double").alias("sum"),
+        F.lit(0).cast("int").alias("scale"),
+        F.sum(F.when(v <= 0, 1).otherwise(0)).cast("long").alias("zero_count"),
+        F.lit(0).cast("int").alias("positive_offset"),
+        F.array(*pos).alias("positive_bucket_counts"),
+        F.min(v).cast("double").alias("min"),
+        F.max(v).cast("double").alias("max"),
     )
 
 

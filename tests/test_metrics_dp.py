@@ -21,11 +21,14 @@ RECORD_NAMES = {
     "metrics",
     "number_dp",
     "hist_dp",
+    "exp_hist_dp",
     "summary_dp",
     "number_dp_exemplar",
     "hist_dp_exemplar",
+    "exp_hist_dp_exemplar",
     "number_dp_attrs",
     "hist_dp_attrs",
+    "exp_hist_dp_attrs",
     "summary_dp_attrs",
 }
 
@@ -53,6 +56,7 @@ def test_encode_produces_all_related_records(records):
     n_parents = (
         records["number_dp"].select("parent_id").distinct().count()
         + records["hist_dp"].select("parent_id").distinct().count()
+        + records["exp_hist_dp"].select("parent_id").distinct().count()
         + records["summary_dp"].select("parent_id").distinct().count()
     )
     assert n_parents == 120
@@ -63,11 +67,14 @@ def test_child_ids_wire_to_parents(records):
     for child, parent in [
         ("number_dp", "metrics"),
         ("hist_dp", "metrics"),
+        ("exp_hist_dp", "metrics"),
         ("summary_dp", "metrics"),
         ("number_dp_exemplar", "number_dp"),
         ("hist_dp_exemplar", "hist_dp"),
+        ("exp_hist_dp_exemplar", "exp_hist_dp"),
         ("number_dp_attrs", "number_dp"),
         ("hist_dp_attrs", "hist_dp"),
+        ("exp_hist_dp_attrs", "exp_hist_dp"),
         ("summary_dp_attrs", "summary_dp"),
     ]:
         orphans = (
@@ -128,3 +135,20 @@ def test_top_exemplars_linkage(spark):
     rows = top_exemplars(df, k=2).orderBy("rank").collect()
     assert (rows[0]["exemplar_value"], rows[0]["conv_id"]) == (9, "c0")  # tie -> conv_id asc
     assert (rows[1]["exemplar_value"], rows[1]["conv_id"]) == (9, "c2")
+
+
+def test_exp_histogram_rollup_known_answer(spark):
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+
+    df = spark.createDataFrame(
+        [("m", "ms", v) for v in [0, 1, 2, 3, 4, 8, 1 << 17]],
+        "metric_name string, metric_unit string, metric_value long",
+    )
+    row = exp_histogram_rollup(df, max_buckets=18).collect()[0]
+    # base-2 lower-inclusive buckets: 1->[1,2) idx0; 2,3->idx1; 4->idx2;
+    # 8->idx3; 2^17 -> overflow bucket (idx >= 17); 0 -> zero_count
+    assert row["zero_count"] == 1 and row["count"] == 7
+    assert row["positive_bucket_counts"][:4] == [1, 2, 1, 1]
+    assert row["positive_bucket_counts"][17] == 1
+    assert sum(row["positive_bucket_counts"]) + row["zero_count"] == row["count"]
+    assert row["scale"] == 0 and row["min"] == 0.0 and row["max"] == float(1 << 17)
