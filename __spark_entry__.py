@@ -486,6 +486,25 @@ def q_pipeline_span_event_wiring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_trace_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full trace star-schema encode over the nested generator: per-record
+    row counts. No SQL oracle (xxhash64 generator); encode∘decode == id is
+    pytest-gated (test_span_records.py::test_traces_star_roundtrip)."""
+    from otel_arrow_adapter_spark.datagen.traces import synthesize_traces_nested
+    from otel_arrow_adapter_spark.operators.span_records import encode_traces
+
+    nested = synthesize_traces_nested(spark, n_spans=300).persist()
+    records = encode_traces(nested)
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("record"), "n_rows")
+        for name, df in sorted(records.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Analytics queries over driver tables (agg/join/window coverage)
 # ---------------------------------------------------------------------------
@@ -876,6 +895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_span_events": q_pipeline_span_events,
     "pipeline_span_links": q_pipeline_span_links,
     "pipeline_span_event_wiring": q_pipeline_span_event_wiring,
+    "pipeline_trace_records": q_pipeline_trace_records,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
     "pipeline_change_detect": q_pipeline_change_detect,

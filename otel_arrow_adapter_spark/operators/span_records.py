@@ -83,6 +83,96 @@ def span_links(traces: DataFrame) -> DataFrame:
     )
 
 
+def encode_traces(nested: DataFrame, id_key: tuple[str, ...] = ("gen_id",)) -> dict[str, DataFrame]:
+    """Nested spans -> star schema: SPANS main + SPAN_ATTRS + SPAN_EVENTS
+    (+ event attrs) + SPAN_LINKS (+ link attrs), surrogate-keyed exactly
+    like the metrics family (traces/arrow/related_data.go registry;
+    event.go:46-52, link.go:47-55 schemas)."""
+    from .metrics_dp import _child_id, assign_row_ids
+
+    m = assign_row_ids(nested, id_key)
+    records: dict[str, DataFrame] = {}
+    records["spans"] = m.select(
+        "id",
+        "res_id",
+        "scope_id",
+        "trace_hex",
+        "span_hex",
+        "parent_span_hex",
+        "name",
+        "kind",
+        "start_ts_us",
+        "dur_ms",
+        "status_code",
+        *id_key,
+    )
+
+    def attrs_of(df: DataFrame, src: str) -> DataFrame:
+        return df.select(F.col("id").alias("parent_id"), F.explode(src).alias("a")).select(
+            "parent_id",
+            F.col("a.key").alias("key"),
+            F.lit(1).cast("tinyint").alias("type"),
+            F.col("a.str").alias("str"),
+        )
+
+    records["span_attrs"] = attrs_of(m, "attrs")
+
+    ev = m.select(F.col("id").alias("parent_id"), F.posexplode("events").alias("_pos", "ev"))
+    ev = ev.withColumn("id", _child_id(F.col("parent_id"), F.col("_pos")))
+    records["span_events"] = ev.select(
+        "id", "parent_id", F.col("ev.ts_us").alias("ts_us"), F.col("ev.name").alias("name")
+    )
+    records["span_event_attrs"] = attrs_of(ev.withColumn("attrs", F.col("ev.attrs")), "attrs")
+
+    ln = m.select(F.col("id").alias("parent_id"), F.posexplode("links").alias("_pos", "ln"))
+    ln = ln.withColumn("id", _child_id(F.col("parent_id"), F.col("_pos")))
+    records["span_links"] = ln.select(
+        "id",
+        "parent_id",
+        F.col("ln.trace_hex").alias("trace_hex"),
+        F.col("ln.span_hex").alias("span_hex"),
+        F.col("ln.trace_state").alias("trace_state"),
+    )
+    records["span_link_attrs"] = attrs_of(ln.withColumn("attrs", F.col("ln.attrs")), "attrs")
+    return records
+
+
+def decode_traces(records: dict[str, DataFrame]) -> DataFrame:
+    """Inverse of encode_traces: attach attrs to events/links, re-nest both
+    onto spans, reproduce the input (validation_test.go round-trip)."""
+    attrs_t = "array<struct<key:string,str:string>>"
+
+    def with_attrs(df: DataFrame, attrs: DataFrame) -> DataFrame:
+        at = attrs.groupBy("parent_id").agg(
+            F.sort_array(F.collect_list(F.struct("key", "str"))).alias("attrs")
+        )
+        out = df.join(at, df["id"] == at["parent_id"], "left").drop(at["parent_id"])
+        return out.withColumn("attrs", F.coalesce("attrs", F.array().cast(attrs_t)))
+
+    ev = with_attrs(records["span_events"], records["span_event_attrs"])
+    events = ev.groupBy("parent_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "name", "attrs"))).alias("events")
+    )
+    ln = with_attrs(records["span_links"], records["span_link_attrs"])
+    links = ln.groupBy("parent_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("trace_hex", "span_hex", "trace_state", "attrs"))
+        ).alias("links")
+    )
+    sp = with_attrs(records["spans"], records["span_attrs"])
+    out = (
+        sp.join(events, sp["id"] == events["parent_id"], "left")
+        .drop("parent_id")
+        .join(links, F.col("id") == links["parent_id"], "left")
+        .drop("parent_id")
+    )
+    from ..datagen.traces import EVENTS_T, LINKS_T
+
+    return out.withColumn("events", F.coalesce("events", F.array().cast(EVENTS_T))).withColumn(
+        "links", F.coalesce("links", F.array().cast(LINKS_T))
+    )
+
+
 def wire_span_children(
     traces: DataFrame, events: DataFrame, links: DataFrame
 ) -> DataFrame:

@@ -60,3 +60,42 @@ def test_wire_span_children_no_orphans(spark, transcripts):
     assert (
         wired.where((F.col("n_links") == 1) != F.col("parent_hex").isNotNull()).count() == 0
     )
+
+
+def test_traces_star_roundtrip(spark):
+    """Full nested-trace round-trip through the related-record star schema
+    (spans + attrs + events/link records with their own attrs) — the
+    analog of /root/reference/pkg/otel/traces/validation_test.go."""
+    from otel_arrow_adapter_spark.datagen.traces import synthesize_traces_nested
+    from otel_arrow_adapter_spark.operators.span_records import decode_traces, encode_traces
+
+    nested = synthesize_traces_nested(spark, n_spans=150, seed=3).cache()
+    records = {k: v.cache() for k, v in encode_traces(nested).items()}
+    assert set(records) == {
+        "spans",
+        "span_attrs",
+        "span_events",
+        "span_event_attrs",
+        "span_links",
+        "span_link_attrs",
+    }
+    # J3: no orphan children anywhere
+    for child, parent in [
+        ("span_attrs", "spans"),
+        ("span_events", "spans"),
+        ("span_links", "spans"),
+        ("span_event_attrs", "span_events"),
+        ("span_link_attrs", "span_links"),
+    ]:
+        orphans = (
+            records[child]
+            .join(records[parent].select(F.col("id").alias("parent_id")), "parent_id", "left_anti")
+            .count()
+        )
+        assert orphans == 0, f"{child}: {orphans} orphans"
+    decoded = decode_traces(records)
+    cols = nested.columns
+    canon = lambda df: sorted(  # noqa: E731
+        r[0] for r in df.select(F.to_json(F.struct(*sorted(cols)))).collect()
+    )
+    assert canon(nested) == canon(decoded)
