@@ -242,12 +242,19 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
     Scale path: block on 4 16-bit chunks (a pair within distance 3 must
     match at least one chunk exactly — pigeonhole), join per block, verify
-    with bit_count. Never all-pairs."""
+    with bit_count. Never all-pairs — but low-entropy corpora concentrate
+    identical signatures into hot chunk buckets whose join IS quadratic in
+    the bucket; ``max_bucket_size`` drops (chunk_idx, chunk) blocks larger
+    than the cap (the standard super-frequent-block guard; recall for
+    pairs ONLY covered by a dropped block is sacrificed, exact-duplicate
+    pairs still surface through their other 3 chunks unless all are hot)."""
     # persist: the 16-byte-per-doc signature table is the thing you'd keep
     # in cluster memory at 100 TB; without it the self-join evaluates the
     # pandas UDF lineage once per side per union branch (measured 12x evals
@@ -266,6 +273,14 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    if max_bucket_size is not None:
+        small = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("chunk_idx", "chunk")
+        )
+        chunks = chunks.join(small, ["chunk_idx", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, on=["chunk_idx", "chunk"])

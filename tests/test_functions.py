@@ -290,3 +290,23 @@ def test_multiprobe_recall_dominates_exact_bucket(spark, emb):
         ).collect()
     }
     assert multi <= brute
+
+
+def test_simhash_hot_bucket_cap(spark, docs_with_dups):
+    """The super-frequent-block guard: capped results are a subset of the
+    uncapped pairs, and exact-duplicate pairs (hamming 0) survive a
+    moderate cap (they match on all 4 chunks, so one surviving block
+    suffices)."""
+    uncapped = {(r.doc_a, r.doc_b) for r in simhash_near_dups(docs_with_dups, 3).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(docs_with_dups, 3, max_bucket_size=500).collect()
+    }
+    assert capped <= uncapped
+    exact_pairs = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in docs_with_dups.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    assert exact_pairs <= capped
