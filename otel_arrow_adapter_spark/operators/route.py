@@ -163,6 +163,65 @@ def route_signals(parsed: DataFrame) -> dict[str, DataFrame]:
 _DERIVED = ("body", "signal_type", "tool_known", "resource_attrs", "span_id", "parent_span_id")
 
 
+def rebuild_text() -> Column:
+    """Regenerate the verbatim payload from the typed columns — the
+    reference's decode model (structured record -> payload, not a stored
+    copy). Null whenever any required field is null (concat
+    null-propagates), so out-of-grammar rows fall back to the stored raw
+    text. Optional fields re-appear iff their column is non-null (P6:
+    absent ⇔ null)."""
+    sink = F.col("sink")
+    log = F.concat(
+        F.lit("ts_us="),
+        F.col("log_ts_us").cast("string"),
+        F.lit(" level="),
+        F.col("severity_text"),
+        F.lit(' msg="'),
+        F.col("msg"),
+        F.lit('"'),
+        F.lit(" code="),
+        F.col("code").cast("string"),
+        F.coalesce(F.concat(F.lit(" retry="), F.col("retry").cast("string")), F.lit("")),
+    )
+    metric = F.concat(
+        F.lit("name="),
+        F.col("metric_name"),
+        F.lit(" value="),
+        F.col("metric_value").cast("string"),
+        F.coalesce(F.concat(F.lit(" unit="), F.col("metric_unit")), F.lit("")),
+    )
+    trace = F.concat(
+        F.lit("span="),
+        F.col("span_hex"),
+        F.lit(" parent="),
+        F.col("parent_hex"),
+        F.lit(" dur_ms="),
+        F.col("dur_ms").cast("string"),
+    )
+    return (
+        F.when(sink == "logs", log)
+        .when(sink == "metrics", metric)
+        .when(sink == "traces", trace)
+    )
+
+
+def suppress_rebuildable_text(df: DataFrame) -> DataFrame:
+    """Store the raw payload ONLY where the typed columns can't regenerate
+    it byte-exactly (quarantine rows, out-of-grammar values) — the payload-
+    level form of non-default suppression. Parquet nulls are ~free, so the
+    routed table stops paying for a verbatim copy of every payload while
+    the per-turn text-equality contract stays exact for ANY input (the
+    write-time comparison is the guard, not a grammar assumption)."""
+    return df.withColumn(
+        "text", F.when(~rebuild_text().eqNullSafe(F.col("text")), F.col("text"))
+    )
+
+
+def restore_text(df: DataFrame) -> DataFrame:
+    """Read-side inverse: stored raw text wins, else regenerate."""
+    return df.withColumn("text", F.coalesce(F.col("text"), rebuild_text()))
+
+
 def write_routed(
     labeled: DataFrame,
     out_dir: str,
@@ -180,7 +239,9 @@ def write_routed(
     production target (partitioned bucket(conv_id)/days(ts) inside each
     sink); the sandbox image lacks the runtime jar, so partitioned parquet
     carries the same layout semantics."""
-    slim = labeled.drop(*[c for c in _DERIVED if c in labeled.columns])
+    slim = suppress_rebuildable_text(
+        labeled.drop(*[c for c in _DERIVED if c in labeled.columns])
+    )
     sort_cols = [F.col(c) for c in extra_partition_cols] + sink_sort_exprs(
         slim, SORT_STRATEGIES[sort_strategy]
     )
@@ -229,7 +290,7 @@ def read_sinks(spark: SparkSession, out_dir: str, subdir: str = "routed") -> dic
     re-deriving the logical-only columns (body struct, binary span ids)."""
     from .parse import make_body
 
-    routed = spark.read.parquet(f"{out_dir}/{subdir}")
+    routed = restore_text(spark.read.parquet(f"{out_dir}/{subdir}"))
     routed = routed.withColumn("body", make_body(F.col("msg"), "str"))
     routed = _trace_ids(routed)
     cols = set(routed.columns)

@@ -158,3 +158,17 @@ def test_decode_chaos_quarantines_not_crashes(spark, transcripts, small_catalog,
         assert valid[name].count() + bad[name] == chaotic[name].count()
     # untouched sinks still reconstruct verbatim
     assert valid["metrics"].count() == sinks["metrics"].count()
+
+
+def test_text_suppressed_for_rebuildable_rows(spark, transcripts, synth_transcripts, small_catalog, tmp_path):
+    """Payload-level non-default suppression: in-grammar rows store NO raw
+    text (regenerated from typed columns on read); quarantine keeps it.
+    The round-trip equality tests above prove the regeneration is exact."""
+    for name, t in (("ev", transcripts), ("sy", synth_transcripts)):
+        out = str(tmp_path / f"sup_{name}")
+        run_pipeline(spark, t, small_catalog, out, run_id=f"sup-{name}")
+        raw = spark.read.parquet(f"{out}/routed")
+        stored = raw.where(F.col("text").isNotNull())
+        n_bad = stored.where(F.col("sink") != "quarantine").count()
+        assert n_bad == 0, f"{name}: {n_bad} rebuildable rows stored raw text"
+        assert stored.where(F.col("sink") == "quarantine").count() > 0
