@@ -65,6 +65,14 @@ SORT_STRATEGIES = {
         "traces": ["ts", "span_hex"],
         "quarantine": ["conv_id", "turn_idx"],
     },
+    # natural arrival order — the do-nothing baseline every measured-ratio
+    # comparison needs (the reference's *ByNothing sorters)
+    "conv_first": {
+        "logs": ["conv_id", "turn_idx"],
+        "metrics": ["conv_id", "turn_idx"],
+        "traces": ["conv_id", "turn_idx"],
+        "quarantine": ["conv_id", "turn_idx"],
+    },
 }
 SINK_SORT_KEYS = SORT_STRATEGIES["default"]
 

@@ -172,3 +172,22 @@ def test_text_suppressed_for_rebuildable_rows(spark, transcripts, synth_transcri
         n_bad = stored.where(F.col("sink") != "quarantine").count()
         assert n_bad == 0, f"{name}: {n_bad} rebuildable rows stored raw text"
         assert stored.where(F.col("sink") == "quarantine").count() > 0
+
+
+def test_sort_strategies_write_identical_rows(spark, transcripts, small_catalog, tmp_path):
+    """O1-O3 strategy plurality: every sort-for-compression strategy writes
+    the same row set (ordering is a storage concern only); sizes are
+    measured by bench.py into BENCH/BASELINE.md."""
+    from otel_arrow_adapter_spark.operators.route import SORT_STRATEGIES, write_routed
+    from otel_arrow_adapter_spark.plans import build_labeled
+
+    labeled = build_labeled(transcripts, small_catalog)
+    outs = {}
+    for strat in SORT_STRATEGIES:
+        write_routed(labeled, str(tmp_path), subdir=f"routed_{strat}", sort_strategy=strat)
+        outs[strat] = spark.read.parquet(f"{tmp_path}/routed_{strat}")
+    base = outs["default"]
+    n = base.count()
+    for strat, df in outs.items():
+        assert df.count() == n
+        assert base.exceptAll(df).count() == 0 and df.exceptAll(base).count() == 0
