@@ -258,12 +258,13 @@ def q_pipeline_route_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2-style analytics: per (severity, retry) counts over parsed logs.
+    """A2-style analytics: per-severity counts over parsed logs.
 
-    The mean is computed as exact-integer sum / count (ONE deterministic
-    double division) instead of F.avg: avg accumulates doubles in
-    partition-arrival order, which diverges from the oracle's accumulation
-    order by half an ulp at round() boundaries."""
+    Integer-only surface: sum_code + n_code as BIGINTs instead of a rounded
+    double mean — round(sum/count, 4) lands exactly on half-way decimal
+    boundaries for integer codes, where round() tie-breaking differs across
+    engines/versions; the mean is a trivial client-side division of two
+    exactly-reproducible integers."""
     return (
         _parsed(spark, sf_dir)
         .where(F.col("signal_type") == "log")
@@ -271,7 +272,8 @@ def q_pipeline_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("retry"), 1).otherwise(0)).alias("n_retry"),
-            F.round(F.sum("code") / F.count("code"), 4).alias("avg_code"),
+            F.sum("code").alias("sum_code"),
+            F.count("code").alias("n_code"),
         )
     )
 
@@ -356,8 +358,18 @@ def q_pipeline_metrics_number_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_adapter_spark.operators.normalize import ranked_dim
 
     pts = _metric_points(spark, sf_dir)
-    dim = ranked_dim(pts, ("metric_name", "metric_unit"), "metric_id")
-    return pts.join(F.broadcast(dim), ["metric_name", "metric_unit"]).select(
+    dim = ranked_dim(pts, ("metric_name", "metric_unit"), "metric_id").select(
+        F.col("metric_name").alias("__d_name"),
+        F.col("metric_unit").alias("__d_unit"),
+        "metric_id",
+    )
+    # null-safe join: metric_unit is optional (the synthetic generator drops
+    # it ~1/3 of the time) — a plain equi-join would silently drop unit-less
+    # points while the oracle's dense_rank keeps them
+    cond = F.col("metric_name").eqNullSafe(F.col("__d_name")) & F.col(
+        "metric_unit"
+    ).eqNullSafe(F.col("__d_unit"))
+    return pts.join(F.broadcast(dim), cond).select(
         "metric_id", "conv_id", "turn_idx", F.col("metric_value").alias("int_value")
     )
 
@@ -381,13 +393,19 @@ def q_pipeline_metrics_hist_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_metrics_exp_hist_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExpHistogramDP rollup: base-2 exponential buckets at scale 0
-    (ehistogram_dp.go:47-64 shape). The bucket exponent is computed as the
-    binary-digit count so both engines agree exactly (libm log2 is not
-    cross-engine deterministic at boundaries)."""
+    """ExpHistogramDP rollup with positive AND mirrored negative bucket
+    families (ehistogram_dp.go:47-64,60 shape) over a signed value (the
+    point's delta from a 1000-unit baseline — signed metrics are exactly
+    where the negative family matters). Bucket indices are explicit integer
+    boundary comparisons and every output is integer-typed; arrays are
+    rendered with array_join (to_json whitespace and double formatting are
+    engine-version-dependent)."""
     from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
 
-    eh = exp_histogram_rollup(_metric_points(spark, sf_dir), max_buckets=18)
+    pts = _metric_points(spark, sf_dir).withColumn(
+        "value_delta", F.col("metric_value") - F.lit(1000)
+    )
+    eh = exp_histogram_rollup(pts, max_buckets=18, value_col="value_delta")
     return eh.select(
         "metric_name",
         "metric_unit",
@@ -395,7 +413,8 @@ def q_pipeline_metrics_exp_hist_dp(spark: SparkSession, sf_dir: str) -> DataFram
         "sum",
         "scale",
         "zero_count",
-        F.to_json("positive_bucket_counts").alias("positive_bucket_counts"),
+        F.array_join("positive_bucket_counts", ",").alias("positive_bucket_counts"),
+        F.array_join("negative_bucket_counts", ",").alias("negative_bucket_counts"),
         "min",
         "max",
     )
@@ -1030,8 +1049,8 @@ SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
        count(*) AS n,
        sum(CASE WHEN nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true'
                 THEN 1 ELSE 0 END) AS n_retry,
-       round(CAST(sum(CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT)) AS DOUBLE)
-             / count(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '')), 4) AS avg_code
+       CAST(sum(CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_code,
+       count(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '')) AS n_code
 FROM classified WHERE signal_type = 'log'
 GROUP BY 1
 """,
@@ -1109,7 +1128,8 @@ FROM enc GROUP BY res_id
     nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
   FROM classified WHERE signal_type = 'metric'
 )
-SELECT CAST(dense_rank() OVER (ORDER BY metric_name, metric_unit) AS BIGINT) AS metric_id,
+SELECT CAST(dense_rank() OVER (ORDER BY metric_name ASC NULLS FIRST,
+                               metric_unit ASC NULLS FIRST) AS BIGINT) AS metric_id,
        conv_id, turn_idx, int_value
 FROM pts
 """,
@@ -1136,27 +1156,34 @@ FROM pts GROUP BY 1, 2
     "pipeline_metrics_exp_hist_dp": _CTE + """
 , pts AS (
   SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
-    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS v,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) - 1000 AS v,
     nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
   FROM classified WHERE signal_type = 'metric'
-), idxd AS (
-  SELECT metric_name, metric_unit, v,
-    CASE WHEN v > 0 THEN length(to_base(v, 2)) - 1 END AS i
-  FROM pts
 )
 SELECT metric_name, metric_unit,
   count(v) AS "count",
-  CAST(sum(v) AS DOUBLE) AS "sum",
+  CAST(sum(v) AS BIGINT) AS "sum",
   CAST(0 AS INTEGER) AS scale,
-  sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS zero_count,
-  CAST(to_json(list_value(
+  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+  array_to_string(list_value(
 """ + ",\n".join(
-        f"    sum(CASE WHEN i = {i} THEN 1 ELSE 0 END)::BIGINT" for i in range(17)
-    ) + """,
-    sum(CASE WHEN i >= 17 THEN 1 ELSE 0 END)::BIGINT)) AS VARCHAR) AS positive_bucket_counts,
-  CAST(min(v) AS DOUBLE) AS "min",
-  CAST(max(v) AS DOUBLE) AS "max"
-FROM idxd GROUP BY 1, 2
+        [
+            f"    sum(CASE WHEN v >= {1 << i} AND v < {1 << (i + 1)} THEN 1 ELSE 0 END)::BIGINT"
+            for i in range(17)
+        ]
+        + ["    sum(CASE WHEN v >= 131072 THEN 1 ELSE 0 END)::BIGINT"]
+    ) + """), ',') AS positive_bucket_counts,
+  array_to_string(list_value(
+""" + ",\n".join(
+        [
+            f"    sum(CASE WHEN v <= {-(1 << i)} AND v > {-(1 << (i + 1))} THEN 1 ELSE 0 END)::BIGINT"
+            for i in range(17)
+        ]
+        + ["    sum(CASE WHEN v <= -131072 THEN 1 ELSE 0 END)::BIGINT"]
+    ) + """), ',') AS negative_bucket_counts,
+  CAST(min(v) AS BIGINT) AS "min",
+  CAST(max(v) AS BIGINT) AS "max"
+FROM pts GROUP BY 1, 2
 """,
     "pipeline_metrics_summary_dp": _CTE + """
 , pts AS (

@@ -114,6 +114,12 @@ def synthesize_metrics_nested(
         F.array(*[F.pmod(h + d + 7 * i, F.lit(15)) for i in range(4)]).alias(
             "positive_bucket_counts"
         ),
+        F.lit(0).cast("int").alias("negative_offset"),
+        # mirrored negative-bucket family (ExpHistogramNegative,
+        # /root/reference/pkg/otel/metrics/arrow/ehistogram_dp.go:60,84,254)
+        F.array(*[F.pmod(h + d + 11 * i, F.lit(9)) for i in range(4)]).alias(
+            "negative_bucket_counts"
+        ),
         _attrs(h, d).alias("attrs"),
         F.pmod(h + d, F.lit(3)).cast("int").alias("n_ex"),
     )
@@ -202,6 +208,8 @@ def synthesize_metrics_nested(
                         "zero_count",
                         "positive_offset",
                         "positive_bucket_counts",
+                        "negative_offset",
+                        "negative_bucket_counts",
                         "min",
                         "max",
                         "exemplars",
@@ -258,7 +266,8 @@ def synthesize_metrics_nested(
     edp_t = (
         "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
         "scale:int,zero_count:bigint,positive_offset:int,"
-        "positive_bucket_counts:array<bigint>,min:double,max:double,"
+        "positive_bucket_counts:array<bigint>,negative_offset:int,"
+        "negative_bucket_counts:array<bigint>,min:double,max:double,"
         f"exemplars:{EXEMPLARS_T},attrs:{ATTRS_T}>>"
     )
     sdp_t = (

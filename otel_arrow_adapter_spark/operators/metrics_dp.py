@@ -71,8 +71,20 @@ def assign_row_ids(
 
 def _child_id(parent: Column, pos: Column) -> Column:
     # parent id occupies <= 38 bits (64 buckets << 32 + rank); 16 bits of
-    # position below it keeps the child id unique in a long
+    # position below it keeps the child id unique in a long. ONLY valid for
+    # first-level children (parent = a main-record id) — chaining the shift
+    # again would push the bucket bits past bit 63 and collide; grandchildren
+    # use _grandchild_id.
     return F.shiftleft(parent, 16) + pos
+
+
+def _grandchild_id(parent: Column, pos: Column) -> Column:
+    """Grandchild (exemplar) ids: the dp parent id already uses ~54 bits, so
+    a second 16-bit shift would overflow the signed long and drop the bucket
+    bits — exemplars of metrics in different buckets with equal in-bucket
+    rank/positions would collide. Derive from a 64-bit hash of (parent_id,
+    pos) instead; uniqueness is asserted by test_exemplar_ids_unique."""
+    return F.xxhash64(parent, pos)
 
 
 def _explode_dps(nested: DataFrame, family: str) -> DataFrame:
@@ -85,7 +97,7 @@ def _exemplar_record(dps: DataFrame) -> DataFrame:
     return dps.select(
         F.col("id").alias("parent_id"), F.posexplode("dp.exemplars").alias("_pos", "ex")
     ).select(
-        _child_id(F.col("parent_id"), F.col("_pos")).alias("id"),
+        _grandchild_id(F.col("parent_id"), F.col("_pos")).alias("id"),
         "parent_id",
         F.col("ex.ts_us").alias("ts_us"),
         F.col("ex.int_value").alias("int_value"),
@@ -163,6 +175,8 @@ def encode_metrics(nested: DataFrame, id_key: tuple[str, ...] = ("gen_id",)) -> 
         F.col("dp.zero_count").alias("zero_count"),
         F.col("dp.positive_offset").alias("positive_offset"),
         F.col("dp.positive_bucket_counts").alias("positive_bucket_counts"),
+        F.col("dp.negative_offset").alias("negative_offset"),
+        F.col("dp.negative_bucket_counts").alias("negative_bucket_counts"),
         F.col("dp.min").alias("min"),
         F.col("dp.max").alias("max"),
     )
@@ -272,6 +286,8 @@ def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
                     "zero_count",
                     "positive_offset",
                     "positive_bucket_counts",
+                    "negative_offset",
+                    "negative_bucket_counts",
                     "min",
                     "max",
                     "exemplars",
@@ -312,7 +328,8 @@ def decode_metrics(records: dict[str, DataFrame]) -> DataFrame:
     edp_t = (
         "array<struct<start_ts_us:bigint,ts_us:bigint,count:bigint,sum:double,"
         "scale:int,zero_count:bigint,positive_offset:int,"
-        "positive_bucket_counts:array<bigint>,min:double,max:double,"
+        "positive_bucket_counts:array<bigint>,negative_offset:int,"
+        "negative_bucket_counts:array<bigint>,min:double,max:double,"
         "exemplars:array<struct<ts_us:bigint,int_value:bigint,double_value:double,"
         "span_hex:string,trace_hex:string>>,attrs:array<struct<key:string,str:string>>>>"
     )
@@ -379,30 +396,40 @@ def exp_histogram_rollup(
     value_col: str = "metric_value",
     keys: tuple[str, ...] = ("metric_name", "metric_unit"),
 ) -> DataFrame:
-    """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape): base-2
-    exponential buckets at scale 0 — positive bucket index =
-    floor(log2(v)), computed EXACTLY as the binary-digit count
-    (length(conv(v, 10, 2)) - 1) so Spark and the DuckDB oracle agree
-    bit-for-bit (libm log2 is not cross-engine deterministic at bucket
-    boundaries). Values <= 0 land in zero_count. Bucket convention:
-    index i counts [2^i, 2^(i+1)) — lower-inclusive, chosen for the exact
-    integer computation; the reference stores whatever its SDK computed.
-    One map-side-combined groupBy, no window."""
-    v = F.col(value_col)
-    idx = F.when(v > 0, F.length(F.conv(v.cast("string"), 10, 2)) - 1)
-    pos = [
-        F.sum(F.when(idx == i, 1).otherwise(0)).cast("long") for i in range(max_buckets - 1)
-    ]
-    pos.append(F.sum(F.when(idx >= max_buckets - 1, 1).otherwise(0)).cast("long"))
+    """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape) with the
+    reference's NEGATIVE bucket family (``ExpHistogramNegative``,
+    ehistogram_dp.go:60,84,254): base-2 exponential buckets at scale 0.
+
+    Bucket index i counts |v| in [2^i, 2^(i+1)) — lower-inclusive, mirrored
+    for negatives — computed with EXPLICIT integer boundary comparisons:
+    engine-portable (no libm log2, no string/base conversion — F.conv
+    stringifies doubles with fractions or scientific notation and silently
+    mis-buckets them, and to_base rendering varies across DuckDB versions).
+    The value is floored to a long first, making the integral-domain
+    contract explicit for non-integer inputs. zero_count counts v == 0 ONLY
+    (OTLP semantics; negatives go to the mirrored buckets, never "zero").
+    sum/min/max are BIGINT end-to-end so the oracle hashes identically on
+    any engine version. One map-side-combined groupBy, no window."""
+    v = F.floor(F.col(value_col)).cast("long")
+    pos, neg = [], []
+    for i in range(max_buckets - 1):
+        lo, hi = 1 << i, 1 << (i + 1)
+        pos.append(F.sum(F.when((v >= lo) & (v < hi), 1).otherwise(0)).cast("long"))
+        neg.append(F.sum(F.when((v <= -lo) & (v > -hi), 1).otherwise(0)).cast("long"))
+    top = 1 << (max_buckets - 1)
+    pos.append(F.sum(F.when(v >= top, 1).otherwise(0)).cast("long"))
+    neg.append(F.sum(F.when(v <= -top, 1).otherwise(0)).cast("long"))
     return points.groupBy(*keys).agg(
         F.count(v).cast("long").alias("count"),
-        F.sum(v).cast("double").alias("sum"),
+        F.sum(v).cast("long").alias("sum"),
         F.lit(0).cast("int").alias("scale"),
-        F.sum(F.when(v <= 0, 1).otherwise(0)).cast("long").alias("zero_count"),
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("zero_count"),
         F.lit(0).cast("int").alias("positive_offset"),
         F.array(*pos).alias("positive_bucket_counts"),
-        F.min(v).cast("double").alias("min"),
-        F.max(v).cast("double").alias("max"),
+        F.lit(0).cast("int").alias("negative_offset"),
+        F.array(*neg).alias("negative_bucket_counts"),
+        F.min(v).cast("long").alias("min"),
+        F.max(v).cast("long").alias("max"),
     )
 
 

@@ -140,15 +140,52 @@ def test_top_exemplars_linkage(spark):
 def test_exp_histogram_rollup_known_answer(spark):
     from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
 
+    vals = [0, 1, 2, 3, 4, 8, 1 << 17, -1, -3, -(1 << 17)]
     df = spark.createDataFrame(
-        [("m", "ms", v) for v in [0, 1, 2, 3, 4, 8, 1 << 17]],
+        [("m", "ms", v) for v in vals],
         "metric_name string, metric_unit string, metric_value long",
     )
     row = exp_histogram_rollup(df, max_buckets=18).collect()[0]
     # base-2 lower-inclusive buckets: 1->[1,2) idx0; 2,3->idx1; 4->idx2;
-    # 8->idx3; 2^17 -> overflow bucket (idx >= 17); 0 -> zero_count
-    assert row["zero_count"] == 1 and row["count"] == 7
+    # 8->idx3; 2^17 -> overflow bucket (idx >= 17); 0 -> zero_count ONLY;
+    # negatives land in the mirrored family: -1->idx0, -3->idx1, -2^17->idx17
+    assert row["zero_count"] == 1 and row["count"] == 10
     assert row["positive_bucket_counts"][:4] == [1, 2, 1, 1]
     assert row["positive_bucket_counts"][17] == 1
-    assert sum(row["positive_bucket_counts"]) + row["zero_count"] == row["count"]
-    assert row["scale"] == 0 and row["min"] == 0.0 and row["max"] == float(1 << 17)
+    assert row["negative_bucket_counts"][:2] == [1, 1]
+    assert row["negative_bucket_counts"][17] == 1
+    assert (
+        sum(row["positive_bucket_counts"])
+        + sum(row["negative_bucket_counts"])
+        + row["zero_count"]
+        == row["count"]
+    )
+    assert row["scale"] == 0 and row["min"] == -(1 << 17) and row["max"] == (1 << 17)
+    assert row["sum"] == sum(vals)
+
+
+def test_exp_histogram_rollup_floors_doubles(spark):
+    """Non-integral values are floored before bucketing (the explicit
+    integral-domain contract — F.conv-based bucketing silently mis-bucketed
+    doubles via fraction/scientific-notation stringification)."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+
+    df = spark.createDataFrame(
+        [("m", "ms", v) for v in [1.9, 2.5, 0.4, -0.5]],
+        "metric_name string, metric_unit string, metric_value double",
+    )
+    row = exp_histogram_rollup(df, max_buckets=4).collect()[0]
+    # floor: 1.9->1 (idx0), 2.5->2 (idx1), 0.4->0 (zero), -0.5->-1 (neg idx0)
+    assert row["positive_bucket_counts"][:2] == [1, 1]
+    assert row["negative_bucket_counts"][0] == 1
+    assert row["zero_count"] == 1
+
+
+def test_exemplar_ids_unique(records):
+    """Grandchild (exemplar) ids must be unique WITHIN each record — the
+    chained-shift scheme dropped the parent's bucket bits past bit 63, so
+    exemplars of metrics in different buckets with equal in-bucket
+    rank/positions collided (and went negative)."""
+    for rec in ("number_dp_exemplar", "hist_dp_exemplar", "exp_hist_dp_exemplar"):
+        df = records[rec]
+        assert df.select("id").distinct().count() == df.count(), rec
