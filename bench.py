@@ -47,7 +47,9 @@ from otel_arrow_adapter_spark.session import get_spark
 from otel_arrow_adapter_spark.datagen import synthesize_tool_catalog
 from otel_arrow_adapter_spark.plans import run_pipeline
 
-cores, in_path, out_dir, repeats = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
+cores, in_path, out_dir, repeats, suppress = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]), bool(int(sys.argv[5]))
+)
 spark = get_spark(
     app_name=f"oaas-bench-{{cores}}", cores=cores, shuffle_partitions=cores,
     extra_conf={{
@@ -59,16 +61,20 @@ spark = get_spark(
 cat = synthesize_tool_catalog(spark, n_tools=45)
 t = spark.read.parquet(in_path)
 # warmup: identical plan on a 5% sample — absorbs JIT/codegen/committer init
-run_pipeline(spark, t.sample(0.05, seed=1), cat, out_dir + "_warm", run_id="warm")
+run_pipeline(spark, t.sample(0.05, seed=1), cat, out_dir + "_warm", run_id="warm",
+             suppress_text=suppress)
 best = None
 for rep in range(repeats):
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     t0 = time.perf_counter()
-    run_pipeline(spark, t, cat, out_dir, run_id="bench")
+    run_pipeline(spark, t, cat, out_dir, run_id="bench", suppress_text=suppress)
     el = time.perf_counter() - t0
     best = el if best is None else min(best, el)
-print(json.dumps({{"sec": best}}))
+routed_bytes = 0
+for root, _, files in os.walk(f"{{out_dir}}/routed"):
+    routed_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+print(json.dumps({{"sec": best, "routed_bytes": routed_bytes}}))
 """
 
 _BURN = r"""
@@ -113,15 +119,18 @@ print(json.dumps(sizes))
 """
 
 
-def pipeline_in_subprocess(cores: int, in_path: str, out_dir: str, repeats: int = REPEATS) -> float:
+def pipeline_in_subprocess(
+    cores: int, in_path: str, out_dir: str, repeats: int = REPEATS, suppress: bool = False
+) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _CHILD.format(repo=repo)
     r = subprocess.run(
-        [sys.executable, "-c", code, str(cores), in_path, out_dir, str(repeats)],
+        [sys.executable, "-c", code, str(cores), in_path, out_dir, str(repeats),
+         str(int(suppress))],
         capture_output=True, text=True, check=True,
         env={**os.environ, "SPARK_DRIVER_MEM": "12g"},
     )
-    return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def cpu_probe(*proc_counts: int) -> dict[str, float]:
@@ -183,9 +192,16 @@ def main() -> None:
     spark.stop()
 
     scale_n, scale_4n = SCALE_N, SCALE_N * 4
-    t_full = pipeline_in_subprocess(CPUS, in_path, f"{WORK}/out_full", repeats=max(2, REPEATS - 1))
-    t_4n = pipeline_in_subprocess(scale_4n, in_path, f"{WORK}/out_4n")
-    t_n = pipeline_in_subprocess(scale_n, in_path, f"{WORK}/out_n", repeats=max(2, REPEATS - 1))
+    # both write configurations, per the measured-trade discipline:
+    # suppress_text=False is the shipped default (turns/sec is the
+    # authoritative metric); =True trades throughput for stored bytes
+    full = pipeline_in_subprocess(CPUS, in_path, f"{WORK}/out_full", repeats=max(2, REPEATS - 1))
+    full_sup = pipeline_in_subprocess(
+        CPUS, in_path, f"{WORK}/out_full_sup", repeats=2, suppress=True
+    )
+    t_full = full["sec"]
+    t_4n = pipeline_in_subprocess(scale_4n, in_path, f"{WORK}/out_4n")["sec"]
+    t_n = pipeline_in_subprocess(scale_n, in_path, f"{WORK}/out_n", repeats=max(2, REPEATS - 1))["sec"]
     # probe BOTH pairs live: (N, 4N) and the driver's configured (8, 32)
     units = cpu_probe(*sorted({scale_n, scale_4n, 8, CPUS}))
     probe_n4n = round(units[scale_4n] / units[scale_n] / (scale_4n / scale_n), 3)
@@ -207,6 +223,10 @@ def main() -> None:
         "turns": n_turns,
         "cores_full": CPUS,
         "throughput_full_turns_per_sec": round(tp_full, 1),
+        "routed_bytes_default": full["routed_bytes"],
+        "suppress_text_sec": round(full_sup["sec"], 3),
+        "suppress_text_turns_per_sec": round(n_turns / full_sup["sec"], 1),
+        "suppress_text_routed_bytes": full_sup["routed_bytes"],
         "scale_pair_cores": [scale_n, scale_4n],
         "throughput_n_turns_per_sec": round(tp_n, 1),
         "throughput_4n_turns_per_sec": round(tp_4n, 1),
@@ -231,6 +251,15 @@ def main() -> None:
             f"| local[{CPUS}] (full fleet) | {t_full:.1f} | {tp_full:,.0f} |\n\n"
             f"**Scaling efficiency (N={scale_n} -> 4N={scale_4n}): {efficiency:.3f}**"
             " (target >= 0.8)\n\n"
+            "## Write configurations (throughput vs stored bytes, measured trade)\n\n"
+            "Payload-level text suppression (store raw text only where typed\n"
+            "columns can't rebuild it) is an opt-in flag of write_routed; both\n"
+            f"configurations at local[{CPUS}]:\n\n"
+            "| config | wall sec | turns/sec | routed bytes |\n|---|---|---|---|\n"
+            f"| suppress_text=False (default) | {t_full:.1f} | {tp_full:,.0f} "
+            f"| {full['routed_bytes']:,} |\n"
+            f"| suppress_text=True | {full_sup['sec']:.1f} "
+            f"| {n_turns / full_sup['sec']:,.0f} | {full_sup['routed_bytes']:,} |\n\n"
             f"## Why N={scale_n}/4N={scale_4n} and not 8/{CPUS}\n\n"
             "The sandbox host is an oversubscribed shared VM. A pure-CPU burn probe\n"
             "(multiprocessing, no JVM, no memory traffic — an upper bound for ANY\n"

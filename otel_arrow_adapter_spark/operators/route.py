@@ -45,7 +45,7 @@ _SINK_FIELDS = {
 # O1-O3 sort-for-compression strategy plurality: the reference ships 6 span
 # sorters and 2 metric sorters and records measured ratios in comments
 # (/root/reference/pkg/otel/traces/arrow/optimizer.go:60-67,
-# /root/reference/pkg/otel/metrics/arrow/config.go:92-101). Two measured
+# /root/reference/pkg/otel/metrics/arrow/config.go:92-101). Five measured
 # strategies here; bench.py writes the output-bytes-per-strategy table into
 # BENCH/BASELINE.md (the reference's measured-ratio discipline).
 SORT_STRATEGIES = {
@@ -72,6 +72,23 @@ SORT_STRATEGIES = {
         "metrics": ["conv_id", "turn_idx"],
         "traces": ["conv_id", "turn_idx"],
         "quarantine": ["conv_id", "turn_idx"],
+    },
+    # span-strategy plurality (the reference ships SIX span sorters,
+    # /root/reference/pkg/otel/traces/arrow/optimizer.go:60-67): these two
+    # vary ONLY the traces keys vs `default` so the measured bytes isolate
+    # the span-sorter choice — traceID-first (the conversation-parent is
+    # the trace grouping here) and startTimestamp-first families.
+    "span_trace_first": {
+        "logs": ["res_id", "scope_id", "severity_text", "conv_id", "turn_idx"],
+        "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
+        "traces": ["parent_hex", "span_hex", "conv_id", "turn_idx"],
+        "quarantine": ["res_id", "scope_id", "error", "conv_id", "turn_idx"],
+    },
+    "span_start_ts_first": {
+        "logs": ["res_id", "scope_id", "severity_text", "conv_id", "turn_idx"],
+        "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
+        "traces": ["ts", "res_id", "span_hex", "turn_idx"],
+        "quarantine": ["res_id", "scope_id", "error", "conv_id", "turn_idx"],
     },
 }
 SINK_SORT_KEYS = SORT_STRATEGIES["default"]
@@ -237,6 +254,7 @@ def write_routed(
     subdir: str = "routed",
     sort_strategy: str = "default",
     extra_partition_cols: tuple[str, ...] = (),
+    suppress_text: bool = False,
 ) -> None:
     """One sorted dynamic-partition write for all sinks (S3 analog:
     IPC+ZSTD+dict-deltas -> Parquet dictionary pages + zstd). Each sink
@@ -246,10 +264,17 @@ def write_routed(
     so a resume overwrites ONLY the partitions it writes. Iceberg is the
     production target (partitioned bucket(conv_id)/days(ts) inside each
     sink); the sandbox image lacks the runtime jar, so partitioned parquet
-    carries the same layout semantics."""
-    slim = suppress_rebuildable_text(
-        labeled.drop(*[c for c in _DERIVED if c in labeled.columns])
-    )
+    carries the same layout semantics.
+
+    ``suppress_text`` opts into payload-level non-default suppression
+    (store raw text only where the typed columns can't rebuild it) — a
+    measured write-time trade: the per-row rebuild_text+eqNullSafe guard
+    costs ~35%% throughput for ~37%% fewer stored bytes (both configurations
+    in BENCH/BASELINE.md). Default OFF: turns/sec is the authoritative
+    metric; turn it on when storage, not ingest rate, is the bottleneck."""
+    slim = labeled.drop(*[c for c in _DERIVED if c in labeled.columns])
+    if suppress_text:
+        slim = suppress_rebuildable_text(slim)
     sort_cols = [F.col(c) for c in extra_partition_cols] + sink_sort_exprs(
         slim, SORT_STRATEGIES[sort_strategy]
     )

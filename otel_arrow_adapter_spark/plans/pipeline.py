@@ -80,11 +80,12 @@ def run_pipeline(
     id_mode: str = "dense",
     salt_buckets: int = 0,
     parse_impl: str = "sql",
+    suppress_text: bool = False,
 ) -> DataFrame:
     """Execute the plan, write the routed table + counts, return counts."""
     if n_buckets <= 0:
         labeled = build_labeled(transcripts, catalog, id_mode, salt_buckets, parse_impl)
-        write_routed(labeled, out_dir)
+        write_routed(labeled, out_dir, suppress_text=suppress_text)
         routed = spark.read.parquet(f"{out_dir}/routed")
         counts = counts_from_routed(routed, run_id)
         counts.write.mode("overwrite").parquet(f"{out_dir}/sink_counts")
@@ -109,7 +110,9 @@ def run_pipeline(
         )
         labeled = build_labeled(part, catalog, id_mode, salt_buckets, parse_impl)
         labeled = labeled.withColumn("bucket", bucket)
-        write_routed(labeled, out_dir, extra_partition_cols=("bucket",))
+        write_routed(
+            labeled, out_dir, extra_partition_cols=("bucket",), suppress_text=suppress_text
+        )
         # ledger metrics from ONE scan of the (columnar, pruned) output —
         # the ProducerStats analog (stats.go:26-43), per (bucket, sink)
         stats = (

@@ -166,12 +166,14 @@ def test_text_suppressed_for_rebuildable_rows(spark, transcripts, synth_transcri
     The round-trip equality tests above prove the regeneration is exact."""
     for name, t in (("ev", transcripts), ("sy", synth_transcripts)):
         out = str(tmp_path / f"sup_{name}")
-        run_pipeline(spark, t, small_catalog, out, run_id=f"sup-{name}")
+        run_pipeline(spark, t, small_catalog, out, run_id=f"sup-{name}", suppress_text=True)
         raw = spark.read.parquet(f"{out}/routed")
         stored = raw.where(F.col("text").isNotNull())
         n_bad = stored.where(F.col("sink") != "quarantine").count()
         assert n_bad == 0, f"{name}: {n_bad} rebuildable rows stored raw text"
         assert stored.where(F.col("sink") == "quarantine").count() > 0
+        # suppression must not cost round-trip exactness
+        assert _roundtrip_diff(t, reconstruct_turns(pipeline_sinks(spark, out))) == 0
 
 
 def test_sort_strategies_write_identical_rows(spark, transcripts, small_catalog, tmp_path):
