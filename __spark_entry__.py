@@ -235,11 +235,21 @@ def q_pipeline_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_buckets=16 scopes window state to (key, bucket) — the batch analog —
     so no single task ever owns a whole attribute key (~6 keys would mean
-    <=6 window tasks for 10^12 rows otherwise)."""
+    <=6 window tasks for 10^12 rows otherwise). parent_id and enc_bucket
+    are md5-derived (engine-portable) so the DuckDB oracle replays the
+    full encode — window, group detection, deltas — exactly."""
+    md5_long = F.conv(F.substring(F.md5("conv_id"), 1, 12), 16, 10).cast("long")
     attrs = melt_attributes(_parsed(spark, sf_dir)).withColumn(
         "parent_id",
-        (F.pmod(F.xxhash64("conv_id"), F.lit(100000)) * 1000 + F.col("turn_idx")).cast("long"),
+        (F.pmod(md5_long, F.lit(100000)) * 1000 + F.col("turn_idx")).cast("long"),
     )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("parent_id").cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        ),
+        F.lit(16),
+    ).cast("int")
+    attrs = attrs.withColumn("enc_bucket", bucket)
     enc = delta_encode_parent_ids(with_encode_order(attrs, n_buckets=16), n_buckets=16)
     # aggregate (stable surface): per key, #groups and delta checksum
     return enc.groupBy("key").agg(
@@ -441,9 +451,9 @@ def q_pipeline_metrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full star-schema encode over the nested generator: per-record row
-    counts (A4 analog). No SQL oracle (the nested generator is
-    xxhash64-seeded, which DuckDB lacks); encode∘decode == id is
-    pytest-gated (test_metrics_dp.py::test_metrics_roundtrip)."""
+    counts (A4 analog). The generator is md5-seeded (datagen/seeds.py), so
+    the DuckDB oracle replays it and recomputes every count; encode∘decode
+    == id is pytest-gated (test_metrics_dp.py::test_metrics_roundtrip)."""
     from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_nested
     from otel_arrow_adapter_spark.operators.metrics_dp import encode_metrics
 
@@ -507,8 +517,9 @@ def q_pipeline_span_event_wiring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_trace_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full trace star-schema encode over the nested generator: per-record
-    row counts. No SQL oracle (xxhash64 generator); encode∘decode == id is
-    pytest-gated (test_span_records.py::test_traces_star_roundtrip)."""
+    row counts. The generator is md5-seeded (datagen/seeds.py), so the
+    DuckDB oracle replays it; encode∘decode == id is pytest-gated
+    (test_span_records.py::test_traces_star_roundtrip)."""
     from otel_arrow_adapter_spark.datagen.traces import synthesize_traces_nested
     from otel_arrow_adapter_spark.operators.span_records import encode_traces
 
@@ -786,6 +797,24 @@ def q_emb_ann_pairs_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs_multiprobe(e, threshold=0.25, m=8)
 
 
+def q_emb_ann_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-real ANN: multi-table banded sign-LSH (m=16 bits x 4 disjoint
+    dimension blocks = all 64 dims), near-duplicate threshold 0.9, over the
+    embeddings plus planted exact duplicates (every 5th vector re-labeled
+    +100000) so the near-dup regime is actually exercised. Axis signs are
+    pure comparisons on stored values — bit-portable to the oracle."""
+    from otel_arrow_adapter_spark.functions.similarity import ann_pairs_banded
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    dup = e.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return ann_pairs_banded(e.unionByName(dup), threshold=0.9, m=16, n_tables=4)
+
+
 def q_emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k search: probe the 2 nearest of 10 coarse centroids, exact
     cosine only inside those clusters (scanned fraction ~ n_probe/n_list)."""
@@ -798,20 +827,27 @@ def q_emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means for IVF centroid training (2 iterations,
-    5 centroids). No SQL oracle (iterative algorithm); convergence and
-    normalization are pytest-gated (test_functions.py::test_kmeans_*)."""
-    from otel_arrow_adapter_spark.functions.similarity import kmeans_train
+    """Distributed Lloyd k-means (2 iterations, 5 seed centroids) + final
+    assignment census. The DuckDB oracle replays both Lloyd iterations in
+    SQL — cosine is scale-invariant, so it can skip the L2-normalization
+    step and assignments still match. Integer outputs (cluster sizes, dim)
+    keep the value hash robust to last-ulp float accumulation differences;
+    convergence/normalization are pytest-gated (test_kmeans_*)."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     cents = kmeans_train(e, n_centroids=5, iters=2)
-    return cents.select(
-        "centroid_id",
-        F.round(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
-        F.size("c_vec").alias("dim"),
+    census = assign_to_centroids(e, cents).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
     )
+    return census.join(
+        cents.select("centroid_id", F.size("c_vec").alias("dim")), "centroid_id"
+    ).select("centroid_id", "n_vecs", "dim")
 
 
 def q_pipeline_delta_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_assign": q_emb_ivf_assign,
     "emb_ann_pairs": q_emb_ann_pairs,
     "emb_ann_pairs_multiprobe": q_emb_ann_pairs_multiprobe,
+    "emb_ann_pairs_banded": q_emb_ann_pairs_banded,
     "emb_ivf_search": q_emb_ivf_search,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
 }
@@ -1105,6 +1142,84 @@ SELECT CASE WHEN substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 1) 
 FROM transcripts
 GROUP BY 1
 """,
+    # Full replay of the E2 encode: same melt, same md5 parent ids/buckets,
+    # same (key, enc_bucket) window ordered by the value union NULLS FIRST
+    # then parent_id, same null-safe group detection. bytes order by hex is
+    # equivalent to Spark's binary order (hex is byte-lexicographic).
+    "pipeline_delta_encode": _CTE + """
+, parsed AS (
+  SELECT conv_id, turn_idx, tool,
+    nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS level,
+    CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT) AS code,
+    (nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true') AS retry,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS unit,
+    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS value,
+    nullif(regexp_extract(text, '^span=([0-9a-f]{16})', 1), '') AS span_hex,
+    nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), '') AS parent_hex
+  FROM classified
+), melted AS (
+  SELECT conv_id, turn_idx, 'tool' AS key, 1 AS type, tool AS str,
+         CAST(NULL AS BIGINT) AS "int", CAST(NULL AS DOUBLE) AS "double",
+         CAST(NULL AS BOOLEAN) AS bool, CAST(NULL AS VARCHAR) AS bytes_hex,
+         CAST(NULL AS VARCHAR) AS ser
+    FROM parsed WHERE tool IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'level', 1, level, NULL, NULL, NULL, NULL, NULL
+    FROM parsed WHERE level IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'code', 2, NULL, code, NULL, NULL, NULL, NULL
+    FROM parsed WHERE code IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'retry', 4, NULL, NULL, NULL, retry, NULL, NULL
+    FROM parsed WHERE retry IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'unit', 1, unit, NULL, NULL, NULL, NULL, NULL
+    FROM parsed WHERE unit IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'dur_ms', 2, NULL, dur_ms, NULL, NULL, NULL, NULL
+    FROM parsed WHERE dur_ms IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'value_scaled', 3, NULL, NULL, value / 100.0, NULL, NULL, NULL
+    FROM parsed WHERE value IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'span_bytes', 5, NULL, NULL, NULL, NULL, upper(span_hex), NULL
+    FROM parsed WHERE span_hex IS NOT NULL
+  UNION ALL SELECT conv_id, turn_idx, 'link', 6, NULL, NULL, NULL, NULL, NULL,
+         CAST(to_json(struct_pack(parent := parent_hex, dur := dur_ms)) AS VARCHAR)
+    FROM parsed WHERE parent_hex IS NOT NULL AND dur_ms IS NOT NULL
+), withid AS (
+  SELECT *,
+    (CAST(CAST('0x' || substr(md5(conv_id), 1, 12) AS UBIGINT) AS BIGINT) % 100000) * 1000
+      + turn_idx AS parent_id
+  FROM melted
+), withb AS (
+  SELECT *,
+    CAST(CAST(CAST('0x' || substr(md5(CAST(parent_id AS VARCHAR)), 1, 12) AS UBIGINT)
+         AS BIGINT) % 16 AS INT) AS enc_bucket
+  FROM withid
+), enc AS (
+  SELECT key, parent_id,
+    lag(parent_id) OVER w AS prev_pid,
+    (type IS NOT DISTINCT FROM lag(type) OVER w
+     AND str IS NOT DISTINCT FROM lag(str) OVER w
+     AND "int" IS NOT DISTINCT FROM lag("int") OVER w
+     AND "double" IS NOT DISTINCT FROM lag("double") OVER w
+     AND bool IS NOT DISTINCT FROM lag(bool) OVER w
+     AND bytes_hex IS NOT DISTINCT FROM lag(bytes_hex) OVER w
+     AND ser IS NOT DISTINCT FROM lag(ser) OVER w) AS same_grp
+  FROM withb
+  WINDOW w AS (PARTITION BY key, enc_bucket
+               ORDER BY type ASC NULLS FIRST, str ASC NULLS FIRST,
+                        "int" ASC NULLS FIRST, "double" ASC NULLS FIRST,
+                        bool ASC NULLS FIRST, bytes_hex ASC NULLS FIRST,
+                        ser ASC NULLS FIRST, parent_id)
+), enc2 AS (
+  SELECT key, NOT coalesce(same_grp, FALSE) AS group_start,
+    CASE WHEN NOT coalesce(same_grp, FALSE) THEN parent_id
+         ELSE parent_id - prev_pid END AS delta
+  FROM enc
+)
+SELECT key,
+  CAST(sum(CASE WHEN group_start THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+  count(*) AS n_rows,
+  CAST(sum(CASE WHEN NOT group_start THEN delta ELSE 0 END) AS BIGINT) AS delta_sum,
+  min(delta) AS min_delta
+FROM enc2 GROUP BY key
+""",
     "pipeline_delta_ids": _CTE + """
 , ids AS (
   SELECT conv_id, turn_idx,
@@ -1256,6 +1371,73 @@ SELECT conv_id, turn_idx, span_hex,
   CAST(CASE WHEN parent_hex IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_links,
   CASE WHEN dur_ms IS NOT NULL THEN dur_ms * 1000 ELSE 0 END AS span_us
 FROM tr
+""",
+    # Generator replay: synthesize_metrics_nested is md5-seeded
+    # (datagen/seeds.py), so the oracle reproduces h and every per-record
+    # row count from the same arithmetic (type/n_dps = h%4+1 correlated,
+    # exemplars = (h+d)%3 for non-summary, attrs = two presence indicators).
+    "pipeline_metrics_dp_records": """
+WITH mbase AS (
+  SELECT i AS id,
+    CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':42'), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM range(0, 300) t(i)
+), mb AS (
+  SELECT id, h, h % 4 + 1 AS metric_type, h % 4 + 1 AS n_dps FROM mbase
+), mdp AS (
+  SELECT id, h, metric_type, unnest(range(0, n_dps)) AS d FROM mb
+), mdpx AS (
+  SELECT id, h, metric_type, d,
+    CASE WHEN metric_type <> 3 THEN (h + d) % 3 ELSE 0 END AS n_ex,
+    (CASE WHEN (h + d) % 4 <> 0 THEN 1 ELSE 0 END
+     + CASE WHEN (h + d) % 5 <> 0 THEN 1 ELSE 0 END) AS n_attrs
+  FROM mdp
+)
+SELECT 'metrics' AS record, count(*) AS n_rows FROM mb
+UNION ALL SELECT 'number_dp', count(*) FROM mdpx WHERE metric_type = 1
+UNION ALL SELECT 'number_dp_exemplar', CAST(coalesce(sum(n_ex), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 1
+UNION ALL SELECT 'number_dp_attrs', CAST(coalesce(sum(n_attrs), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 1
+UNION ALL SELECT 'hist_dp', count(*) FROM mdpx WHERE metric_type = 2
+UNION ALL SELECT 'hist_dp_exemplar', CAST(coalesce(sum(n_ex), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 2
+UNION ALL SELECT 'hist_dp_attrs', CAST(coalesce(sum(n_attrs), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 2
+UNION ALL SELECT 'exp_hist_dp', count(*) FROM mdpx WHERE metric_type = 4
+UNION ALL SELECT 'exp_hist_dp_exemplar', CAST(coalesce(sum(n_ex), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 4
+UNION ALL SELECT 'exp_hist_dp_attrs', CAST(coalesce(sum(n_attrs), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 4
+UNION ALL SELECT 'summary_dp', count(*) FROM mdpx WHERE metric_type = 3
+UNION ALL SELECT 'summary_dp_attrs', CAST(coalesce(sum(n_attrs), 0) AS BIGINT)
+  FROM mdpx WHERE metric_type = 3
+""",
+    # Same replay for synthesize_traces_nested: n_events = h%4,
+    # n_links = (h+1)%3, attr presence from the _kv indicator arithmetic.
+    "pipeline_trace_records": """
+WITH tbase AS (
+  SELECT i AS id,
+    CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':42'), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM range(0, 300) t(i)
+), tb AS (
+  SELECT id, h, h % 4 AS n_events, (h + 1) % 3 AS n_links FROM tbase
+), tev AS (
+  SELECT id, h, unnest(range(0, n_events)) AS e FROM tb
+), tln AS (
+  SELECT id, h, unnest(range(0, n_links)) AS l FROM tb
+)
+SELECT 'spans' AS record, count(*) AS n_rows FROM tb
+UNION ALL SELECT 'span_attrs', CAST(coalesce(sum(
+    CASE WHEN (h + 13) % 4 <> 0 THEN 1 ELSE 0 END
+    + CASE WHEN (h + 13) % 5 <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM tb
+UNION ALL SELECT 'span_events', count(*) FROM tev
+UNION ALL SELECT 'span_event_attrs', CAST(coalesce(sum(
+    CASE WHEN (h + e) % 4 <> 0 THEN 1 ELSE 0 END
+    + CASE WHEN (h + e) % 5 <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM tev
+UNION ALL SELECT 'span_links', count(*) FROM tln
+UNION ALL SELECT 'span_link_attrs', CAST(coalesce(sum(
+    CASE WHEN (h + l + 7) % 4 <> 0 THEN 1 ELSE 0 END
+    + CASE WHEN (h + l + 7) % 5 <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM tln
 """,
     "media_frame_sample": """
 WITH media AS (
@@ -1648,11 +1830,111 @@ ORDER BY rank LIMIT 10
 ORACLES["emb_ann_pairs_multiprobe"] = _multiprobe_oracle()
 ORACLES["emb_ivf_search"] = _IVF_SEARCH_ORACLE
 
-# pipeline_delta_encode has no oracle: the encode order inside each
-# (key,value) group is engine-internal (row_number over ties); the driver
-# records the rows-only check and pytest proves encode∘decode == id.
-# pipeline_metrics_dp_records / emb_kmeans_centroids: no oracle (xxhash64
-# generator / iterative algorithm); both pytest-gated.
+
+def _banded_oracle(m: int = 16, n_tables: int = 4, threshold: float = 0.9) -> str:
+    tables = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"CASE WHEN embedding[{t * m + i + 1}] >= 0 THEN '1' ELSE '0' END"
+            for i in range(m)
+        )
+        tables.append(f"SELECT vec_id, embedding, {t} AS tbl, ({bits}) AS bucket FROM aug")
+    return (
+        """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+b AS ("""
+        + "\nUNION ALL ".join(tables)
+        + """),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         l.embedding AS ea, r.embedding AS eb
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+    round(sum(CAST(ea[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(ea[i.i] AS DOUBLE) * CAST(ea[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(eb[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM cand, range(1, 65) i(i)
+  GROUP BY 1, 2
+)
+SELECT DISTINCT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= """
+        + str(threshold)
+    )
+
+
+ORACLES["emb_ann_pairs_banded"] = _banded_oracle()
+
+# Two full Lloyd iterations from the seed centroids (vec_id < 5), then a
+# final assignment census. Normalization is skipped (cosine ranking is
+# scale-invariant); every assignment uses the same round-6 + centroid_id
+# tie-break as assign_to_centroids.
+_KMEANS_ASSIGN = """
+  SELECT vec_id, centroid_id FROM (
+    SELECT s.vec_id, s.centroid_id,
+      row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY s.cos_sim DESC, s.centroid_id ASC) AS rn
+    FROM {scored} s
+  ) WHERE rn = 1
+"""
+
+_KMEANS_ORACLE = (
+    """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS centroid_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS m
+  FROM e, range(1, 65) i(i) WHERE vec_id < 5
+),
+s1 AS (
+  SELECT e.vec_id, c.centroid_id,
+    round(sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.m)
+      / (sqrt(sum(CAST(e.embedding[c.dim] AS DOUBLE) * CAST(e.embedding[c.dim] AS DOUBLE)))
+         * sqrt(sum(c.m * c.m))), 6) AS cos_sim
+  FROM e CROSS JOIN c0 c GROUP BY 1, 2
+),
+a1 AS ("""
+    + _KMEANS_ASSIGN.format(scored="s1")
+    + """),
+c1 AS (
+  SELECT a1.centroid_id, i.i AS dim, avg(CAST(e.embedding[i.i] AS DOUBLE)) AS m
+  FROM e JOIN a1 USING (vec_id), range(1, 65) i(i) GROUP BY 1, 2
+),
+s2 AS (
+  SELECT e.vec_id, c.centroid_id,
+    round(sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.m)
+      / (sqrt(sum(CAST(e.embedding[c.dim] AS DOUBLE) * CAST(e.embedding[c.dim] AS DOUBLE)))
+         * sqrt(sum(c.m * c.m))), 6) AS cos_sim
+  FROM e CROSS JOIN c1 c GROUP BY 1, 2
+),
+a2 AS ("""
+    + _KMEANS_ASSIGN.format(scored="s2")
+    + """),
+c2 AS (
+  SELECT a2.centroid_id, i.i AS dim, avg(CAST(e.embedding[i.i] AS DOUBLE)) AS m
+  FROM e JOIN a2 USING (vec_id), range(1, 65) i(i) GROUP BY 1, 2
+),
+s3 AS (
+  SELECT e.vec_id, c.centroid_id,
+    round(sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.m)
+      / (sqrt(sum(CAST(e.embedding[c.dim] AS DOUBLE) * CAST(e.embedding[c.dim] AS DOUBLE)))
+         * sqrt(sum(c.m * c.m))), 6) AS cos_sim
+  FROM e CROSS JOIN c2 c GROUP BY 1, 2
+),
+a3 AS ("""
+    + _KMEANS_ASSIGN.format(scored="s3")
+    + """)
+SELECT centroid_id, count(*) AS n_vecs, CAST(64 AS INT) AS dim
+FROM a3 GROUP BY centroid_id
+"""
+)
+ORACLES["emb_kmeans_centroids"] = _KMEANS_ORACLE
+
+# Remaining rows-only query: media_features (decode honestly stubbed — its
+# sha-derived floats have no SQL equivalent); pytest-gated determinism.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -163,6 +163,44 @@ def sort_strategy_sizes(cores: int, in_path: str, out_base: str) -> dict[str, in
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def ann_recall_measurement(spark, sf_dir: str) -> dict[str, float]:
+    """Measured recall of the scale-real ANN configurations vs brute-force
+    ground truth (all pairs cos >= 0.9) over the SF embeddings plus planted
+    near-duplicates — deterministic additive noise (~0.03/dim vs ~0.1 mean
+    |x|) puts planted pairs at cos ~0.95 with genuine sign flips, so recall
+    is a real measurement, not a tautology."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_adapter_spark.functions.similarity import (
+        ann_pairs_banded,
+        ann_pairs_projected,
+        brute_force_pairs,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noisy = F.transform(
+        "embedding",
+        lambda x, i: x
+        + 0.03 * ((F.pmod(F.col("vec_id") * 13 + i * 7, F.lit(11)) - 5) / 5.0),
+    )
+    dup = e.where(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), noisy.alias("embedding")
+    )
+    aug = e.unionByName(dup).persist()
+    truth = {(r.vec_a, r.vec_b) for r in brute_force_pairs(aug, threshold=0.9).collect()}
+    out: dict[str, float] = {"ann_truth_pairs": len(truth)}
+    for name, pairs in (
+        ("banded_m16_L4", ann_pairs_banded(aug, threshold=0.9, m=16, n_tables=4)),
+        ("projected_m24_L8", ann_pairs_projected(aug, threshold=0.9, m=24, n_tables=8)),
+    ):
+        found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+        out[f"ann_recall_{name}"] = round(len(found & truth) / max(len(truth), 1), 4)
+    aug.unpersist()
+    return out
+
+
 def main() -> None:
     from otel_arrow_adapter_spark.session import get_spark
     from otel_arrow_adapter_spark.datagen import synthesize_transcripts
@@ -189,6 +227,7 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+    recall = ann_recall_measurement(spark, SF_DIR)
     spark.stop()
 
     scale_n, scale_4n = SCALE_N, SCALE_N * 4
@@ -235,6 +274,7 @@ def main() -> None:
         "host_cpu_probe_efficiency_8_to_full": probe_8full,
         "host_steal_per_user_ratio": round(steal, 3),
         "sort_strategy_bytes": sort_sizes,
+        **recall,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -281,6 +321,19 @@ def main() -> None:
             "metrics/arrow/config.go:92-101):\n\n"
             "| strategy | bytes |\n|---|---|\n"
             + "".join(f"| {k} | {v:,} |\n" for k, v in sorted(sort_sizes.items()))
+            + "\n## ANN recall at scale-real plane counts\n\n"
+            "Ground truth = brute-force pairs cos >= 0.9 over the SF embeddings\n"
+            "plus planted near-duplicates (additive noise, cos ~0.95 with real\n"
+            "sign flips). Bucket-capacity back-of-envelope in\n"
+            "functions/similarity.py docstrings (2^m must track corpus size;\n"
+            "10^9 vectors -> m~24 via random projections, L tables for recall).\n\n"
+            "| config | recall |\n|---|---|\n"
+            + "".join(
+                f"| {k.replace('ann_recall_', '')} | {v} |\n"
+                for k, v in sorted(recall.items())
+                if k.startswith("ann_recall_")
+            )
+            + f"| (truth pairs) | {recall['ann_truth_pairs']} |\n"
             + f"\nPer-query timings at {SF_DIR}: see BENCH_r*.json.\n"
         )
     print(json.dumps(result))

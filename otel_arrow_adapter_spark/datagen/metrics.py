@@ -66,9 +66,13 @@ def synthesize_metrics_nested(
     hist_dps, summary_dps) — exactly one dp family non-empty per row."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    from .seeds import seed_hash
+
     base = (
         spark.range(0, n_metrics, 1, partitions)
-        .withColumn("h", F.abs(F.xxhash64("id", F.lit(seed))))
+        # md5-derived (not xxhash64) so a DuckDB oracle can replay the
+        # generator exactly — see datagen/seeds.py
+        .withColumn("h", seed_hash(F.col("id"), seed))
         .withColumn("metric_type", (F.pmod(F.col("h"), F.lit(4)) + 1).cast("tinyint"))
         .withColumn("n_dps", (F.pmod(F.col("h"), F.lit(4)) + 1).cast("int"))
     )
@@ -280,4 +284,42 @@ def synthesize_metrics_nested(
         .withColumn("hist_dps", F.coalesce("hist_dps", F.array().cast(hdp_t)))
         .withColumn("exp_hist_dps", F.coalesce("exp_hist_dps", F.array().cast(edp_t)))
         .withColumn("summary_dps", F.coalesce("summary_dps", F.array().cast(sdp_t)))
+    )
+
+
+def synthesize_metrics_multivariate(
+    spark: SparkSession,
+    n_resources: int = 100,
+    n_ts: int = 1000,
+    n_vars: int = 8,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multivariate metrics: K values per (resource, timestamp) sharing ONE
+    attrs set — the reference's flagship compression case (multivariate
+    metrics x7.97 vs OTLP+ZSTD, /root/reference/docs/benchmarks.md:73; the
+    univariate model repeats attrs + timestamp once per value). md5-seeded
+    (datagen/seeds.py) so a DuckDB oracle replays it exactly.
+
+    Wide shape: (res_id, host, dc, ts_us, v_0..v_{K-1}); id DIV/% split is
+    engine-portable integer arithmetic."""
+    from .seeds import seed_hash
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    base = (
+        spark.range(0, n_resources * n_ts, 1, partitions)
+        .withColumn("h", seed_hash(F.col("id"), seed))
+        .withColumn("res_id", F.pmod(F.col("id"), F.lit(n_resources)).cast("long"))
+        .withColumn("t", F.expr(f"id DIV {n_resources}"))
+    )
+    return base.select(
+        "res_id",
+        F.format_string("h-%d", F.pmod(F.col("res_id"), F.lit(20))).alias("host"),
+        F.format_string("dc-%d", F.pmod(F.col("res_id"), F.lit(3))).alias("dc"),
+        (F.lit(_EPOCH) + F.col("t") * 1_000_000).alias("ts_us"),
+        *[
+            F.pmod(F.col("h") + 7919 * j, F.lit(10_000)).alias(f"v_{j}")
+            for j in range(n_vars)
+        ],
     )

@@ -49,9 +49,13 @@ def synthesize_traces_nested(
     events, links)."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    from .seeds import seed_hash
+
     base = (
         spark.range(0, n_spans, 1, partitions)
-        .withColumn("h", F.abs(F.xxhash64("id", F.lit(seed))))
+        # md5-derived (not xxhash64) so a DuckDB oracle can replay the
+        # generator exactly — see datagen/seeds.py
+        .withColumn("h", seed_hash(F.col("id"), seed))
         .withColumn("n_events", F.pmod(F.col("h"), F.lit(4)).cast("int"))
         .withColumn("n_links", F.pmod(F.col("h") + 1, F.lit(3)).cast("int"))
     )

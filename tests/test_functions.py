@@ -246,9 +246,13 @@ def test_kmeans_train_converges_and_normalizes(spark, emb):
     assert kmeans_inertia(emb, trained) <= kmeans_inertia(emb, seeds) + 1e-9
     # centroids stay L2-normalized (cosine geometry)
     norms = trained.select(
-        F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x).alias("n")
+        F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x).alias("n"),
+        F.size("c_vec").alias("dim"),
     ).collect()
     assert all(abs(r["n"] - 1.0) < 1e-6 for r in norms)
+    # shape invariant (was an assert inside the training loop): every
+    # centroid keeps the full input dimensionality
+    assert all(r["dim"] == 64 for r in norms)
 
 
 def test_ivf_search_full_probe_equals_bruteforce(spark, emb):
@@ -310,3 +314,70 @@ def test_simhash_hot_bucket_cap(spark, docs_with_dups):
         ).collect()
     }
     assert exact_pairs <= capped
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark, emb):
+    base = emb.select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(dup).cache()
+
+
+def test_ann_banded_planted_recall_and_subset(spark, emb_with_dups):
+    """Multi-table banded sign-LSH: exact duplicates collide in EVERY
+    table -> planted-pair recall is 1.0; and everything found is a true
+    >= threshold pair (subset of brute force)."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        ann_pairs_banded,
+        brute_force_pairs,
+    )
+
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in ann_pairs_banded(emb_with_dups, threshold=0.9, m=16, n_tables=4).collect()
+    }
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb_with_dups.where(
+            (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 100000)
+        ).collect()
+    }
+    assert planted <= found
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in brute_force_pairs(emb_with_dups, threshold=0.9).collect()
+    }
+    assert found <= brute
+
+
+def test_ann_projected_deterministic_planted_subset(spark, emb_with_dups):
+    """Random-projection banded LSH (the m·L > dim scale config): seeded ->
+    two runs identical; planted exact dups project identically in every
+    table -> found; results subset of brute force."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        ann_pairs_projected,
+        brute_force_pairs,
+    )
+
+    run = lambda: {  # noqa: E731
+        (r.vec_a, r.vec_b)
+        for r in ann_pairs_projected(
+            emb_with_dups, threshold=0.9, m=24, n_tables=4, seed=7
+        ).collect()
+    }
+    a, b = run(), run()
+    assert a == b and len(a) > 0
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb_with_dups.where(
+            (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 100000)
+        ).collect()
+    }
+    assert planted <= a
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in brute_force_pairs(emb_with_dups, threshold=0.9).collect()
+    }
+    assert a <= brute
