@@ -449,6 +449,27 @@ def q_pipeline_metrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_metrics_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate metrics rollup: the wide layout (K values per
+    (resource, ts) sharing one attrs row — the reference's x7.97 flagship,
+    docs/benchmarks.md:73) must reproduce univariate semantics exactly:
+    per-variable count/sum/min/max + resource reach through the exploded
+    view. The measured wide-vs-long compression factor is recorded by
+    bench.py in BENCH/BASELINE.md."""
+    from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_multivariate
+    from otel_arrow_adapter_spark.operators.metrics_dp import explode_univariate
+
+    wide = synthesize_metrics_multivariate(spark, n_resources=20, n_ts=50)
+    uni = explode_univariate(wide)
+    return uni.groupBy("metric_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("res_id").alias("n_res"),
+    )
+
+
 def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full star-schema encode over the nested generator: per-record row
     counts (A4 analog). The generator is md5-seeded (datagen/seeds.py), so
@@ -947,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
     "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
     "pipeline_metrics_dp_records": q_pipeline_metrics_dp_records,
+    "pipeline_metrics_multivariate": q_pipeline_metrics_multivariate,
     "pipeline_span_events": q_pipeline_span_events,
     "pipeline_span_links": q_pipeline_span_links,
     "pipeline_span_event_wiring": q_pipeline_span_event_wiring,
@@ -1411,6 +1433,25 @@ UNION ALL SELECT 'exp_hist_dp_attrs', CAST(coalesce(sum(n_attrs), 0) AS BIGINT)
 UNION ALL SELECT 'summary_dp', count(*) FROM mdpx WHERE metric_type = 3
 UNION ALL SELECT 'summary_dp_attrs', CAST(coalesce(sum(n_attrs), 0) AS BIGINT)
   FROM mdpx WHERE metric_type = 3
+""",
+    # Replay of synthesize_metrics_multivariate (n_resources=20, n_ts=50,
+    # n_vars=8): same md5 seed hash, same DIV/% arithmetic.
+    "pipeline_metrics_multivariate": """
+WITH mv AS (
+  SELECT i AS id,
+    CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':42'), 1, 15) AS UBIGINT) AS BIGINT) AS h,
+    i % 20 AS res_id
+  FROM range(0, 1000) t(i)
+), pts AS (
+  SELECT 'v_' || CAST(j AS VARCHAR) AS metric_name,
+         1000 * j + (h + 7919 * j) % 100 AS value, res_id
+  FROM mv, range(0, 8) s(j)
+)
+SELECT metric_name, count(*) AS n,
+  CAST(sum(value) AS BIGINT) AS sum_value,
+  min(value) AS min_value, max(value) AS max_value,
+  count(DISTINCT res_id) AS n_res
+FROM pts GROUP BY 1
 """,
     # Same replay for synthesize_traces_nested: n_events = h%4,
     # n_links = (h+1)%3, attr presence from the _kv indicator arithmetic.

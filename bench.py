@@ -201,6 +201,39 @@ def ann_recall_measurement(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def multivariate_compression(spark, work: str) -> dict[str, float]:
+    """Measured wide-vs-long bytes over the same 8-variable metric stream
+    (1M timestamps x 8 values) — chasing the reference's multivariate
+    x7.97 headline (docs/benchmarks.md:73): the univariate layout repeats
+    attrs + timestamp once per value; the multivariate star stores them
+    once per (resource, ts)."""
+    from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_multivariate
+    from otel_arrow_adapter_spark.operators.metrics_dp import write_multivariate_layouts
+
+    wide = synthesize_metrics_multivariate(spark, n_resources=200, n_ts=5000)
+    out = f"{work}/mvbench"
+    write_multivariate_layouts(wide, out)
+
+    def _sz(sub: str) -> int:
+        total = 0
+        for root, _, files in os.walk(f"{out}/{sub}"):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total
+
+    mv, uni, uni_json = _sz("mv"), _sz("uni"), _sz("uni_json")
+    return {
+        "mv_bytes": mv,
+        "uni_bytes": uni,
+        "uni_json_bytes": uni_json,
+        "mv_factor_vs_columnar": round(uni / mv, 2),
+        "mv_factor_vs_row_json": round(uni_json / mv, 2),
+    }
+
+
 def main() -> None:
     from otel_arrow_adapter_spark.session import get_spark
     from otel_arrow_adapter_spark.datagen import synthesize_transcripts
@@ -228,6 +261,7 @@ def main() -> None:
         qtimes[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
     recall = ann_recall_measurement(spark, SF_DIR)
+    mv = multivariate_compression(spark, WORK)
     spark.stop()
 
     scale_n, scale_4n = SCALE_N, SCALE_N * 4
@@ -275,6 +309,7 @@ def main() -> None:
         "host_steal_per_user_ratio": round(steal, 3),
         "sort_strategy_bytes": sort_sizes,
         **recall,
+        **mv,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -334,7 +369,22 @@ def main() -> None:
                 if k.startswith("ann_recall_")
             )
             + f"| (truth pairs) | {recall['ann_truth_pairs']} |\n"
-            + f"\nPer-query timings at {SF_DIR}: see BENCH_r*.json.\n"
+            + "\n## Multivariate metrics compression (docs/benchmarks.md:73 analog)\n\n"
+            "Same 8-variable gauge stream in three encodings (parquet zstd,\n"
+            "JSON gzip — Spark's text writer lacks zstd without native hadoop):\n"
+            "univariate repeats attrs+timestamp once per value, the\n"
+            "multivariate star stores them once per (resource, ts). The\n"
+            "reference's x7.97 compares Arrow against row-oriented\n"
+            "OTLP-protobuf; the JSON-lines row is that baseline's analog,\n"
+            "and the sorted-parquet univariate row shows how much of the\n"
+            "gap columnar storage already closes on its own.\n\n"
+            "| layout | bytes | factor vs multivariate |\n|---|---|---|\n"
+            f"| univariate row-oriented (gzip JSON lines) | {mv['uni_json_bytes']:,} "
+            f"| x{mv['mv_factor_vs_row_json']} |\n"
+            f"| univariate columnar (sorted parquet) | {mv['uni_bytes']:,} "
+            f"| x{mv['mv_factor_vs_columnar']} |\n"
+            f"| multivariate star (sorted parquet) | {mv['mv_bytes']:,} | x1.0 |\n"
+            f"\nPer-query timings at {SF_DIR}: see BENCH_r*.json.\n"
         )
     print(json.dumps(result))
 

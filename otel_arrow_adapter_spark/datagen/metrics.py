@@ -313,13 +313,16 @@ def synthesize_metrics_multivariate(
         .withColumn("res_id", F.pmod(F.col("id"), F.lit(n_resources)).cast("long"))
         .withColumn("t", F.expr(f"id DIV {n_resources}"))
     )
+    # gauge-like values: a stable per-variable level + small variation —
+    # real metrics are smooth, which is what makes the layouts' relative
+    # overheads (repeated attrs/ts vs shared) visible at all
     return base.select(
         "res_id",
         F.format_string("h-%d", F.pmod(F.col("res_id"), F.lit(20))).alias("host"),
         F.format_string("dc-%d", F.pmod(F.col("res_id"), F.lit(3))).alias("dc"),
         (F.lit(_EPOCH) + F.col("t") * 1_000_000).alias("ts_us"),
         *[
-            F.pmod(F.col("h") + 7919 * j, F.lit(10_000)).alias(f"v_{j}")
+            (F.lit(1000 * j) + F.pmod(F.col("h") + 7919 * j, F.lit(100))).alias(f"v_{j}")
             for j in range(n_vars)
         ],
     )

@@ -473,3 +473,75 @@ def top_exemplars(
         .where(F.col("_rn") <= k)
         .select(*keys, F.col(value_col).alias("exemplar_value"), *link_cols, F.col("_rn").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate metrics (the reference's flagship compression case:
+# docs/benchmarks.md:73 — x7.97 vs OTLP because K values per (resource,
+# timestamp) share ONE attrs/timestamp row instead of repeating them)
+# ---------------------------------------------------------------------------
+
+def encode_multivariate(wide: DataFrame, value_cols: list[str] | None = None) -> dict[str, DataFrame]:
+    """Multivariate star schema: ONE main row per (resource, ts) carrying
+    all K metric values as columns, plus ONE attrs row per resource —
+    nothing repeated per value. The write path sorts by (res_id, ts_us)
+    (delta-friendly timestamps, dictionary-friendly ids)."""
+    if value_cols is None:
+        value_cols = [c for c in wide.columns if c.startswith("v_")]
+    main = wide.select("res_id", "ts_us", *value_cols)
+    attrs = wide.select("res_id", "host", "dc").distinct()
+    return {"metrics_mv": main, "mv_resource_attrs": attrs}
+
+
+def explode_univariate(wide: DataFrame, value_cols: list[str] | None = None) -> DataFrame:
+    """The univariate layout of the same data: one row per metric value
+    with the attrs AND timestamp repeated — what the OTLP univariate model
+    stores and exactly what the multivariate encode saves. Used as the
+    measured baseline for the compression-factor row in BENCH/BASELINE.md."""
+    if value_cols is None:
+        value_cols = [c for c in wide.columns if c.startswith("v_")]
+    ms = F.array(
+        *[
+            F.struct(F.lit(c).alias("name"), F.col(c).alias("value"))
+            for c in value_cols
+        ]
+    )
+    return wide.select(
+        "res_id", "host", "dc", "ts_us", F.explode(ms).alias("m")
+    ).select(
+        "res_id",
+        "host",
+        "dc",
+        "ts_us",
+        F.col("m.name").alias("metric_name"),
+        F.col("m.value").alias("value"),
+    )
+
+
+def write_multivariate_layouts(wide: DataFrame, out_dir: str) -> None:
+    """Write three encodings of the same stream so bench records measured
+    compression factors:
+
+    - ``mv/``   multivariate star, sorted zstd parquet (ours)
+    - ``uni/``  univariate long layout, sorted zstd parquet (columnar
+      baseline — parquet dictionaries already amortize the repeats)
+    - ``uni_json/`` univariate zstd JSON lines — the row-oriented baseline
+      (the reference's x7.97 is Arrow vs OTLP *protobuf*+zstd, a
+      row-oriented wire format; OTLP-JSON is its file-exporter analog,
+      collector fileexporter / S7)."""
+    recs = encode_multivariate(wide)
+    recs["metrics_mv"].sortWithinPartitions("res_id", "ts_us").write.mode(
+        "overwrite"
+    ).option("compression", "zstd").parquet(f"{out_dir}/mv/metrics_mv")
+    recs["mv_resource_attrs"].sortWithinPartitions("res_id").write.mode(
+        "overwrite"
+    ).option("compression", "zstd").parquet(f"{out_dir}/mv/resource_attrs")
+    uni = explode_univariate(wide).sortWithinPartitions("metric_name", "res_id", "ts_us")
+    uni.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{out_dir}/uni/number_dp"
+    )
+    # gzip: Spark's text writer has no zstd without native hadoop; gzip is
+    # within ~10% of zstd on JSON text and keeps the baseline honest
+    uni.write.mode("overwrite").option("compression", "gzip").json(
+        f"{out_dir}/uni_json/number_dp"
+    )

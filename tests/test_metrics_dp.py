@@ -189,3 +189,26 @@ def test_exemplar_ids_unique(records):
     for rec in ("number_dp_exemplar", "hist_dp_exemplar", "exp_hist_dp_exemplar"):
         df = records[rec]
         assert df.select("id").distinct().count() == df.count(), rec
+
+
+def test_multivariate_layouts_equivalent(spark):
+    """The wide (multivariate) and long (univariate) layouts carry the same
+    data: per-variable sums agree, the star split has the right grains."""
+    from otel_arrow_adapter_spark.datagen.metrics import synthesize_metrics_multivariate
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        encode_multivariate,
+        explode_univariate,
+    )
+
+    wide = synthesize_metrics_multivariate(spark, n_resources=5, n_ts=10, n_vars=3)
+    uni = explode_univariate(wide)
+    assert uni.count() == 5 * 10 * 3
+    recs = encode_multivariate(wide)
+    assert recs["metrics_mv"].count() == 50
+    assert recs["mv_resource_attrs"].count() == 5
+    wide_sums = wide.agg(*[F.sum(f"v_{j}").alias(f"v_{j}") for j in range(3)]).collect()[0]
+    uni_sums = {
+        r["metric_name"]: r["s"]
+        for r in uni.groupBy("metric_name").agg(F.sum("value").alias("s")).collect()
+    }
+    assert all(uni_sums[f"v_{j}"] == wide_sums[f"v_{j}"] for j in range(3))
