@@ -265,16 +265,21 @@ def main() -> None:
     spark.stop()
 
     scale_n, scale_4n = SCALE_N, SCALE_N * 4
-    # both write configurations, per the measured-trade discipline:
-    # suppress_text=False is the shipped default (turns/sec is the
-    # authoritative metric); =True trades throughput for stored bytes
-    full = pipeline_in_subprocess(CPUS, in_path, f"{WORK}/out_full", repeats=max(2, REPEATS - 1))
-    full_sup = pipeline_in_subprocess(
-        CPUS, in_path, f"{WORK}/out_full_sup", repeats=2, suppress=True
+    # both write configurations, per the measured-trade discipline: the
+    # shipped default is suppress_text=True + shared_native sort keys
+    # (ties on time, ~35% fewer bytes); the verbatim-payload config is the
+    # measured alternative
+    full = pipeline_in_subprocess(
+        CPUS, in_path, f"{WORK}/out_full", repeats=max(2, REPEATS - 1), suppress=True
+    )
+    full_verbatim = pipeline_in_subprocess(
+        CPUS, in_path, f"{WORK}/out_full_verb", repeats=2, suppress=False
     )
     t_full = full["sec"]
-    t_4n = pipeline_in_subprocess(scale_4n, in_path, f"{WORK}/out_4n")["sec"]
-    t_n = pipeline_in_subprocess(scale_n, in_path, f"{WORK}/out_n", repeats=max(2, REPEATS - 1))["sec"]
+    t_4n = pipeline_in_subprocess(scale_4n, in_path, f"{WORK}/out_4n", suppress=True)["sec"]
+    t_n = pipeline_in_subprocess(
+        scale_n, in_path, f"{WORK}/out_n", repeats=max(2, REPEATS - 1), suppress=True
+    )["sec"]
     # probe BOTH pairs live: (N, 4N) and the driver's configured (8, 32)
     units = cpu_probe(*sorted({scale_n, scale_4n, 8, CPUS}))
     probe_n4n = round(units[scale_4n] / units[scale_n] / (scale_4n / scale_n), 3)
@@ -297,9 +302,9 @@ def main() -> None:
         "cores_full": CPUS,
         "throughput_full_turns_per_sec": round(tp_full, 1),
         "routed_bytes_default": full["routed_bytes"],
-        "suppress_text_sec": round(full_sup["sec"], 3),
-        "suppress_text_turns_per_sec": round(n_turns / full_sup["sec"], 1),
-        "suppress_text_routed_bytes": full_sup["routed_bytes"],
+        "verbatim_text_sec": round(full_verbatim["sec"], 3),
+        "verbatim_text_turns_per_sec": round(n_turns / full_verbatim["sec"], 1),
+        "verbatim_text_routed_bytes": full_verbatim["routed_bytes"],
         "scale_pair_cores": [scale_n, scale_4n],
         "throughput_n_turns_per_sec": round(tp_n, 1),
         "throughput_4n_turns_per_sec": round(tp_4n, 1),
@@ -328,13 +333,15 @@ def main() -> None:
             " (target >= 0.8)\n\n"
             "## Write configurations (throughput vs stored bytes, measured trade)\n\n"
             "Payload-level text suppression (store raw text only where typed\n"
-            "columns can't rebuild it) is an opt-in flag of write_routed; both\n"
-            f"configurations at local[{CPUS}]:\n\n"
+            "columns can't rebuild it) is a write_routed flag; the pipeline\n"
+            "default is ON (with shared_native sort keys the guard's compute\n"
+            "is fully paid back by the byte reduction). Both configurations at\n"
+            f"local[{CPUS}]:\n\n"
             "| config | wall sec | turns/sec | routed bytes |\n|---|---|---|---|\n"
-            f"| suppress_text=False (default) | {t_full:.1f} | {tp_full:,.0f} "
+            f"| suppress_text=True (default) | {t_full:.1f} | {tp_full:,.0f} "
             f"| {full['routed_bytes']:,} |\n"
-            f"| suppress_text=True | {full_sup['sec']:.1f} "
-            f"| {n_turns / full_sup['sec']:,.0f} | {full_sup['routed_bytes']:,} |\n\n"
+            f"| suppress_text=False (verbatim payloads) | {full_verbatim['sec']:.1f} "
+            f"| {n_turns / full_verbatim['sec']:,.0f} | {full_verbatim['routed_bytes']:,} |\n\n"
             f"## Why N={scale_n}/4N={scale_4n} and not 8/{CPUS}\n\n"
             "The sandbox host is an oversubscribed shared VM. A pure-CPU burn probe\n"
             "(multiprocessing, no JVM, no memory traffic — an upper bound for ANY\n"

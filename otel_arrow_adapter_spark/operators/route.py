@@ -49,8 +49,21 @@ _SINK_FIELDS = {
 # strategies here; bench.py writes the output-bytes-per-strategy table into
 # BENCH/BASELINE.md (the reference's measured-ratio discipline).
 SORT_STRATEGIES = {
-    # resource-first: the reference defaults (res, scope, ...). Aligned so
-    # shared positions compile to NATIVE column sorts (see sink_sort_exprs).
+    # shared-native resource-first: ONE key list for every sink, so
+    # sink_sort_exprs emits bare columns — zero CASE expressions. Measured
+    # on the 17.8M-row write (min-of-2, 32 cores): 19.6s vs 26.5s for the
+    # per-sink CASE strategy at equal-or-smaller output bytes — the CASE
+    # string expression in the sort comparator was the round-2 write-path
+    # regression. This is the shipped default.
+    "shared_native": {
+        s: ["res_id", "scope_id", "conv_id", "turn_idx"]
+        for s in ("logs", "metrics", "traces", "quarantine")
+    },
+    # resource-first with a per-sink 3rd key: the reference defaults
+    # (res, scope, <signal key>, ...). Shared positions compile to NATIVE
+    # column sorts; the divergent position becomes one string CASE (see
+    # sink_sort_exprs) — measured ~7s slower on 17.8M rows, kept for the
+    # bytes table.
     "default": {
         "logs": ["res_id", "scope_id", "severity_text", "conv_id", "turn_idx"],
         "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
@@ -252,7 +265,7 @@ def write_routed(
     out_dir: str,
     mode: str = "overwrite",
     subdir: str = "routed",
-    sort_strategy: str = "default",
+    sort_strategy: str = "shared_native",
     extra_partition_cols: tuple[str, ...] = (),
     suppress_text: bool = False,
 ) -> None:
@@ -268,10 +281,12 @@ def write_routed(
 
     ``suppress_text`` opts into payload-level non-default suppression
     (store raw text only where the typed columns can't rebuild it) — a
-    measured write-time trade: the per-row rebuild_text+eqNullSafe guard
-    costs ~35%% throughput for ~37%% fewer stored bytes (both configurations
-    in BENCH/BASELINE.md). Default OFF: turns/sec is the authoritative
-    metric; turn it on when storage, not ingest rate, is the bottleneck."""
+    measured trade, both configurations in BENCH/BASELINE.md. With the
+    shared_native sort keys the guard's compute is fully paid back by the
+    ~35%% byte reduction (19.66s off vs 19.61s on, 17.8M rows), so the
+    end-to-end pipeline (run_pipeline) defaults it ON; at the operator
+    level it stays opt-in so a caller keeping verbatim payloads gets the
+    bit-identical copy."""
     slim = labeled.drop(*[c for c in _DERIVED if c in labeled.columns])
     if suppress_text:
         slim = suppress_rebuildable_text(slim)

@@ -80,9 +80,14 @@ def run_pipeline(
     id_mode: str = "dense",
     salt_buckets: int = 0,
     parse_impl: str = "sql",
-    suppress_text: bool = False,
+    suppress_text: bool = True,
 ) -> DataFrame:
-    """Execute the plan, write the routed table + counts, return counts."""
+    """Execute the plan, write the routed table + counts, return counts.
+
+    ``suppress_text`` defaults ON here: with the shared_native sort keys
+    the rebuild-guard compute is fully paid back by the ~35% smaller
+    routed output (measured in BENCH/BASELINE.md, both configs), so the
+    pipeline default wins on bytes and ties on throughput."""
     if n_buckets <= 0:
         labeled = build_labeled(transcripts, catalog, id_mode, salt_buckets, parse_impl)
         write_routed(labeled, out_dir, suppress_text=suppress_text)
