@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--catalog-tools", type=int, default=45, help="synthetic catalog size (or use --catalog-path)")
     ap.add_argument("--catalog-path", default=None, help="parquet path of tool_catalog(tool, service_name, ...)")
     ap.add_argument("--resume", action="store_true", help="skip ledger-done buckets")
+    ap.add_argument("--verbatim-text", action="store_true",
+                    help="store every raw payload verbatim instead of the default "
+                    "payload-level suppression (rebuildable text stored as null)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("otel-arrow-adapter-spark-pipeline").getOrCreate()
@@ -70,6 +73,7 @@ def main() -> None:
         id_mode=args.id_mode,
         salt_buckets=args.salt_buckets,
         parse_impl=args.parse_impl,
+        suppress_text=not args.verbatim_text,
     )
     for row in counts.orderBy("sink").collect():
         print(f"sink={row['sink']} n_rows={row['n_rows']} n_convs={row['n_convs']}")

@@ -118,3 +118,32 @@ def _empty_spec(line: str) -> bool:
     inner = line.split("windowspecdefinition(", 1)[1]
     head = inner.split("ASC", 1)[0].split("DESC", 1)[0]
     return "," not in head
+
+
+def test_default_write_sort_keys_are_native_columns(spark):
+    """The shipped write strategy must compile to bare column sort keys —
+    the per-sink CASE string expression in the sort comparator measured a
+    ~35% write-path regression on 17.8M rows (see route.py); only the
+    explicitly-chosen per-sink strategies may pay it."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_adapter_spark.operators.route import (
+        SORT_STRATEGIES,
+        sink_sort_exprs,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 0, "logs", 1, 2, "E", "m", "s", "e", None)],
+        "conv_id string, turn_idx int, sink string, res_id long, scope_id long,"
+        "severity_text string, metric_name string, span_hex string, error string,"
+        "parent_hex string",
+    ).withColumn("ts", F.current_timestamp())
+    exprs = sink_sort_exprs(df, SORT_STRATEGIES["shared_native"])
+    # every key is a bare attribute reference (no CASE WHEN / casts)
+    for e in exprs:
+        s = e._jc.toString()
+        assert "CASE" not in s and "cast" not in s.lower(), s
+    # and the per-sink default strategy pays exactly ONE divergent position
+    exprs_cased = sink_sort_exprs(df, SORT_STRATEGIES["default"])
+    n_case = sum("CASE" in e._jc.toString() for e in exprs_cased)
+    assert n_case == 1
