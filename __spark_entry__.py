@@ -338,6 +338,16 @@ def q_pipeline_schema_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_field_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analyzer depth: per-field top-5 value distributions over the
+    transcript dimensions (role, tool) — each column's top-k is a
+    map-side-combined groupBy + TakeOrderedAndProject, never a global
+    window."""
+    from otel_arrow_adapter_spark.operators.aggregate import field_frequencies
+
+    return field_frequencies(_transcripts(spark, sf_dir), ["role", "tool"], k=5)
+
+
 def q_pipeline_weighted_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2: weighted traffic splitting to exporter sets (8/5/3 sixteenths)."""
     from otel_arrow_adapter_spark.operators.route import weighted_split
@@ -818,6 +828,21 @@ def q_emb_ann_pairs_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs_multiprobe(e, threshold=0.25, m=8)
 
 
+def q_emb_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF end-to-end: Lloyd-trained coarse centroids (2 iterations, 5
+    seeds) feeding the probed top-k search — train -> index -> search
+    composed in one lineage. The oracle replays the training iterations
+    (unnormalized: cosine ranking is scale-invariant) then the probe +
+    exact rescore; final scores are computed from raw stored vectors."""
+    from otel_arrow_adapter_spark.functions.similarity import ivf_search, kmeans_train
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = kmeans_train(e, n_centroids=5, iters=2)
+    return ivf_search(e, query_vec_id=0, k=10, n_probe=2, centroids=cents)
+
+
 def q_emb_ann_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-real ANN: multi-table banded sign-LSH (m=16 bits x 4 disjoint
     dimension blocks = all 64 dims), near-duplicate threshold 0.9, over the
@@ -961,6 +986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_obfuscate": q_pipeline_obfuscate,
     "pipeline_schema_analyzer": q_pipeline_schema_analyzer,
     "pipeline_weighted_split": q_pipeline_weighted_split,
+    "pipeline_field_frequencies": q_pipeline_field_frequencies,
     "pipeline_delta_ids": q_pipeline_delta_ids,
     "pipeline_metrics_number_dp": q_pipeline_metrics_number_dp,
     "pipeline_metrics_hist_dp": q_pipeline_metrics_hist_dp,
@@ -996,6 +1022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_pairs_multiprobe": q_emb_ann_pairs_multiprobe,
     "emb_ann_pairs_banded": q_emb_ann_pairs_banded,
     "emb_ivf_search": q_emb_ivf_search,
+    "emb_ivf_search_trained": q_emb_ivf_search_trained,
     "emb_kmeans_centroids": q_emb_kmeans_centroids,
 }
 
@@ -1241,6 +1268,19 @@ SELECT key,
   CAST(sum(CASE WHEN NOT group_start THEN delta ELSE 0 END) AS BIGINT) AS delta_sum,
   min(delta) AS min_delta
 FROM enc2 GROUP BY key
+""",
+    "pipeline_field_frequencies": duckdb_transcripts_cte() + """
+SELECT * FROM (
+  SELECT 'role' AS "column", role AS value, count(*) AS n
+  FROM transcripts WHERE role IS NOT NULL
+  GROUP BY role ORDER BY n DESC, value ASC LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'tool', tool, count(*) AS n
+  FROM transcripts WHERE tool IS NOT NULL
+  GROUP BY tool ORDER BY n DESC, tool ASC LIMIT 5
+)
 """,
     "pipeline_delta_ids": _CTE + """
 , ids AS (
@@ -1923,7 +1963,7 @@ _KMEANS_ASSIGN = """
   ) WHERE rn = 1
 """
 
-_KMEANS_ORACLE = (
+_KMEANS_CTES = (
     """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (
@@ -1967,12 +2007,47 @@ s3 AS (
 ),
 a3 AS ("""
     + _KMEANS_ASSIGN.format(scored="s3")
-    + """)
+    + """)"""
+)
+
+ORACLES["emb_kmeans_centroids"] = (
+    _KMEANS_CTES
+    + """
 SELECT centroid_id, count(*) AS n_vecs, CAST(64 AS INT) AS dim
 FROM a3 GROUP BY centroid_id
 """
 )
-ORACLES["emb_kmeans_centroids"] = _KMEANS_ORACLE
+
+# Train -> index -> search: probe the 2 nearest TRAINED (c2) centroids for
+# the query vector, exact-rescore only the vectors a3 assigned to them.
+ORACLES["emb_ivf_search_trained"] = (
+    _KMEANS_CTES
+    + """,
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cprobe AS (
+  SELECT c.centroid_id,
+    round(sum(CAST(q.qv[c.dim] AS DOUBLE) * c.m)
+      / (sqrt(sum(CAST(q.qv[c.dim] AS DOUBLE) * CAST(q.qv[c.dim] AS DOUBLE)))
+         * sqrt(sum(c.m * c.m))), 6) AS qc
+  FROM c2 c, q GROUP BY 1
+),
+probes AS (SELECT centroid_id FROM cprobe ORDER BY qc DESC, centroid_id ASC LIMIT 2),
+in_probed AS (
+  SELECT a.vec_id FROM a3 a JOIN probes USING (centroid_id) WHERE a.vec_id <> 0
+),
+scoredq AS (
+  SELECT e.vec_id,
+    round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM e JOIN in_probed USING (vec_id), q, range(1, 65) i(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim,
+  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+FROM scoredq ORDER BY rank LIMIT 10
+"""
+)
 
 # Remaining rows-only query: media_features (decode honestly stubbed — its
 # sha-derived floats have no SQL equivalent); pytest-gated determinism.

@@ -5,6 +5,10 @@
 - ``schema_analyzer``: per-column distinct counts / min / max / null rate —
   the reference's schema analyzer (/root/reference/pkg/otel/common/arrow/analyzer.go:41-237)
   as one pass of distributed aggregates.
+- ``field_frequencies``: per-column top-k value distributions — the
+  analyzer's per-field frequency view, each column's top-k computed as a
+  map-side-combined groupBy + orderBy+limit (TakeOrderedAndProject: a
+  distributed partial top-k, never a one-task global window).
 """
 
 from __future__ import annotations
@@ -74,3 +78,29 @@ def schema_analyzer(df: DataFrame, approx: bool = True) -> DataFrame:
         "max_value",
         "n_rows",
     )
+
+
+def field_frequencies(df: DataFrame, columns: list[str], k: int = 5) -> DataFrame:
+    """Top-k most frequent values per column: (column, value, n).
+
+    The reference's analyzers report per-field value distributions
+    (/root/reference/pkg/otel/common/arrow/analyzer.go:156-237); this is
+    that view as k-bounded exact counts. Per column: one map-side-combined
+    groupBy then orderBy+limit — compiles to TakeOrderedAndProject, so the
+    top-k is partial-aggregated per partition and only k rows reach the
+    driver side of each union leg. Ties break on value ascending
+    (deterministic, oracle-portable)."""
+    parts = []
+    for c in columns:
+        parts.append(
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("value"))
+            .limit(k)
+            .select(F.lit(c).alias("column"), "value", "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -148,3 +148,16 @@ def test_body_union_all_arms_roundtrip(spark):
     assert row["str"] == "abc" and row["int"] == 7 and row["double"] == 1.5
     assert row["bool"] is True and row["bytes"] == b"\x0a\x0b" and row["ser"] == '{"k":1}'
     assert row["wrong"] is None
+
+
+def test_field_frequencies_topk_ties(spark):
+    """A2 analyzer depth: exact top-k per column, ties broken by value asc,
+    nulls excluded, k bound respected."""
+    from otel_arrow_adapter_spark.operators.aggregate import field_frequencies
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("b", None), ("c", "z")],
+        "u string, v string",
+    )
+    rows = {(r["column"], r["value"]): r["n"] for r in field_frequencies(df, ["u", "v"], k=2).collect()}
+    assert rows == {("u", "a"): 2, ("u", "b"): 2, ("v", "y"): 2, ("v", "x"): 1}
