@@ -149,3 +149,59 @@ def conversation_stats_stateful(labeled: DataFrame, timeout_minutes: int | None 
             ),
         )
     )
+
+
+DICT_STATE_SCHEMA = "known array<string>"
+DICT_DELTA_SCHEMA = "bucket int, value string, code long"
+
+
+def dictionary_delta_stream(values: DataFrame, column: str, n_buckets: int = 16) -> DataFrame:
+    """E4 — dictionary DELTA transmission, the reference's
+    ``ipc.WithDictionaryDeltas(true)`` (producer.go:371-381): a long-lived
+    stream sends only the dictionary entries FIRST SEEN in each batch; the
+    consumer accumulates them across batches (consumer.go:192-203).
+
+    Streaming form (applyInPandasWithState): state per hash bucket = the
+    values already transmitted; each micro-batch emits only the new ones,
+    each with a stable code assigned at first sight
+    (code = bucket << 32 | arrival-seq within bucket — the same windowless
+    id discipline as assign_row_ids). Bucketing shards both the state and
+    the code space across executors, so no task ever owns the whole
+    dictionary; at 10^12 rows state size is O(distinct values), exactly
+    the reference's per-stream dictionary memory."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        known = list(state.get[0]) if state.exists else []
+        known_set = set(known)
+        new_vals = []
+        for pdf in pdfs:
+            for v in pdf[column]:
+                if v is not None and v not in known_set:
+                    known_set.add(v)
+                    known.append(v)
+                    new_vals.append(v)
+        if new_vals:
+            state.update((known,))
+        base = len(known) - len(new_vals)
+        bucket = key[0]
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(new_vals),
+                "value": new_vals,
+                "code": [(bucket << 32) | (base + i) for i in range(len(new_vals))],
+            }
+        )
+
+    bucketed = values.select(
+        F.pmod(F.xxhash64(F.col(column)), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(column),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=DICT_DELTA_SCHEMA,
+        stateStructType=DICT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

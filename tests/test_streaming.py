@@ -72,3 +72,29 @@ def test_stream_stateful_conversation_stats(spark, transcripts, small_catalog, t
     bad = joined.where(F.col("n_turns") != F.col("count")).count()
     assert bad == 0
     assert final.count() == expect.count()
+
+
+def test_stream_dictionary_deltas(spark, transcripts, tmp_path):
+    """E4: only first-seen dictionary entries are transmitted per
+    micro-batch (maxFilesPerTrigger=1 forces several); accumulating the
+    deltas reconstructs the full dictionary exactly once per value, with
+    unique stable codes (consumer.go:192-203 accumulation contract)."""
+    from otel_arrow_adapter_spark.streaming.stream import dictionary_delta_stream
+
+    src = str(tmp_path / "src_dd")
+    transcripts.repartition(4).write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files=1)
+    deltas = dictionary_delta_stream(stream.where(F.col("tool").isNotNull()), "tool")
+    q = deltas.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from dd").collect()
+    tools = {
+        r.tool
+        for r in transcripts.where(F.col("tool").isNotNull()).select("tool").distinct().collect()
+    }
+    vals = [r.value for r in rows]
+    assert sorted(vals) == sorted(tools)  # each value transmitted EXACTLY once
+    codes = [r.code for r in rows]
+    assert len(set(codes)) == len(codes)  # codes unique across buckets
+    assert all((r.code >> 32) == r.bucket for r in rows)
