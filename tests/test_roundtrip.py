@@ -193,3 +193,44 @@ def test_sort_strategies_write_identical_rows(spark, transcripts, small_catalog,
     for strat, df in outs.items():
         assert df.count() == n
         assert base.exceptAll(df).count() == 0 and df.exceptAll(base).count() == 0
+
+
+def test_schema_change_stream_retirement(spark, tmp_path):
+    """R4: a batch with a new schema opens a NEW schema_id stream dir; the
+    old stream is retired untouched; same-schema batches (regardless of
+    field order) append to the same stream; the reader unions by name."""
+    from otel_arrow_adapter_spark.operators.schema_evo import (
+        canonical_schema_id,
+        read_versioned,
+        write_versioned,
+    )
+
+    v1 = spark.createDataFrame([("c", 0, "hello")], "conv_id string, turn_idx int, text string")
+    v1b = v1.select("text", "conv_id", "turn_idx")  # field order must not matter
+    v2 = spark.createDataFrame(
+        [("d", 1, "hi", "tool-1")],
+        "conv_id string, turn_idx int, text string, tool string",
+    )
+    assert canonical_schema_id(v1) == canonical_schema_id(v1b)
+    assert canonical_schema_id(v1) != canonical_schema_id(v2)
+
+    out = str(tmp_path / "evo")
+    sid1 = write_versioned(v1, out)
+    import os
+
+    files_before = set()
+    for root, _, files in os.walk(f"{out}/versioned/schema_id={sid1}"):
+        files_before |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+    sid2 = write_versioned(v2, out)
+    assert sid1 != sid2
+    # retirement: the old stream's files are untouched by the new stream
+    files_after = set()
+    for root, _, files in os.walk(f"{out}/versioned/schema_id={sid1}"):
+        files_after |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+    assert files_before == files_after
+    assert write_versioned(v1b, out) == sid1  # same schema -> same stream
+
+    back = read_versioned(spark, out)
+    assert back.count() == 3
+    # v1 rows surface the v2-only column as null
+    assert back.where(F.col("tool").isNull()).count() == 2
