@@ -785,6 +785,34 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pass (the shape every corpus runs
+    before training): quality filter -> exact-dedup keeping the first
+    (min doc_id) copy per fingerprint -> per-doc token stats. ONE shuffle
+    total: dedup is groupBy(fp).min(struct(doc_id, ...)) — keep-first as a
+    map-side-combined aggregate, no join back."""
+    from otel_arrow_adapter_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    d = _docs_plus(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.where(F.col("q") >= 0.5)
+    agg = kept.groupBy("fp").agg(F.min(F.struct("doc_id", "n_tokens", "q")).alias("s"))
+    return agg.select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.round("s.q", 6).alias("quality"),
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_adapter_spark.functions.similarity import cosine_topk
 
@@ -1012,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_clean_corpus": q_doc_clean_corpus,
     "doc_minhash_sig": q_doc_minhash_sig,
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -1726,6 +1755,36 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+    "doc_clean_corpus": _DOCS_PLUS_SQL + """,
+f AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it'))) END AS h_sw,
+    length(lower(text)) AS n_low,
+    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_stripped
+  FROM docs_plus
+), scored AS (
+  SELECT doc_id, fp, CAST(n AS BIGINT) AS n_tokens,
+    least(n / 50.0, 1.0) * 0.4
+    + (CASE WHEN (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) > 0.01
+             AND (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) < 0.6
+            THEN 1.0 ELSE 0.3 END) * 0.3
+    + (1.0 - least((CASE WHEN n_low > 0
+                         THEN (n_low - n_stripped) / CAST(n_low AS DOUBLE)
+                         ELSE 0.0 END) * 5, 1.0)) * 0.3 AS q
+  FROM f
+), kept AS (
+  SELECT * FROM scored WHERE q >= 0.5
+), firsts AS (
+  SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT k.doc_id, k.n_tokens, round(k.q, 6) AS quality
+FROM kept k JOIN firsts d ON k.fp = d.fp AND k.doc_id = d.doc_id
 """,
     "doc_quality": """
 WITH f AS (

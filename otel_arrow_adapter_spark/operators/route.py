@@ -349,3 +349,58 @@ def read_sinks(spark: SparkSession, out_dir: str, subdir: str = "routed") -> dic
         fields = [f for f in fields if f in cols]
         out[name] = routed.where(F.col("sink") == name).select(*fields)
     return out
+
+
+def compact_routed(
+    spark: SparkSession,
+    out_dir: str,
+    subdir: str = "routed",
+    target_mb: int = 128,
+    sort_strategy: str = "shared_native",
+) -> dict[str, tuple[int, int]]:
+    """Small-files compaction — the Iceberg ``rewrite_data_files`` analog.
+
+    Streaming micro-batches and resumable dynamic-partition writes fragment
+    each sink into many small files; at 100 TB that tanks scan throughput
+    (per-file open cost) and wrecks row-group compression. Rewrite each
+    sink partition into ceil(bytes / target) zstd files, restoring the
+    sink's sort-for-compression order inside each output file. The driver
+    loop is over the 4 sinks; every rewrite is a distributed job. Returns
+    {sink: (files_before, files_after)} so callers can ledger the win.
+    Production target is Iceberg's own metadata-driven rewrite; this
+    file-level form carries the same semantics for parquet dirs."""
+    import math
+    import os
+
+    base = f"{out_dir}/{subdir}"
+    result: dict[str, tuple[int, int]] = {}
+    for sink in SINKS:
+        d = f"{base}/sink={sink}"
+        if not os.path.isdir(d):
+            continue
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        df = spark.read.parquet(d)
+        keys = [c for c in SORT_STRATEGIES[sort_strategy][sink] if c in df.columns]
+        dest = f"{out_dir}/{subdir}_compacted/sink={sink}"
+        (
+            df.repartition(n)
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(dest)
+        )
+        after = sum(
+            1
+            for r, _, fs in os.walk(dest)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        result[sink] = (len(files), after)
+    return result

@@ -234,3 +234,20 @@ def test_schema_change_stream_retirement(spark, tmp_path):
     assert back.count() == 3
     # v1 rows surface the v2-only column as null
     assert back.where(F.col("tool").isNull()).count() == 2
+
+
+def test_compact_routed_preserves_rows(spark, transcripts, small_catalog, tmp_path):
+    """Small-files compaction: fragmented sinks rewrite into the byte-target
+    file count with zero row loss/duplication per sink."""
+    from otel_arrow_adapter_spark.operators.route import compact_routed
+
+    out = str(tmp_path / "out_compact")
+    run_pipeline(spark, transcripts, small_catalog, out, run_id="c")
+    stats = compact_routed(spark, out, target_mb=512)  # everything fits one file
+    assert set(stats) == {"logs", "metrics", "traces", "quarantine"}
+    for sink, (before, after) in stats.items():
+        assert after == 1 and before >= after, (sink, before, after)
+        a = spark.read.parquet(f"{out}/routed/sink={sink}")
+        b = spark.read.parquet(f"{out}/routed_compacted/sink={sink}")
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
