@@ -636,6 +636,57 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving the join back
+    onto orders/customer, then top-k. No forced broadcasts: the heavy-
+    hitter aggregate's size is data-dependent (selective HAVING, but
+    millions of rows at SF-100k) and customer scales with SF — AQE
+    converts to broadcast at runtime exactly when a side is actually
+    small, which is the 100 TB-safe default."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_pipeline_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (sink, severity): per-combination counts
+    plus per-sink and grand totals in one pass (§2.6 — the reference has
+    no grouping-sets machinery; Spark's rollup is the built-in). grouping
+    ids disambiguate the NULL subtotal rows engine-portably."""
+    from otel_arrow_adapter_spark.plans import build_labeled
+
+    cat = synthesize_tool_catalog(spark, n_tools=N_CATALOG_TOOLS)
+    labeled = build_labeled(_transcripts(spark, sf_dir), cat)
+    return (
+        labeled.rollup("sink", "severity_text")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("sink").cast("int").alias("g_sink"),
+            F.grouping("severity_text").cast("int").alias("g_sev"),
+        )
+        .select("sink", "severity_text", "g_sink", "g_sev", "n")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap > 30 min) — classic lag+cumsum idiom (W3)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1033,6 +1084,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_revenue": q_q5_region_revenue,
+    "q18_large_orders": q_q18_large_orders,
+    "pipeline_sink_rollup": q_pipeline_sink_rollup,
     "events_sessionize": q_events_sessionize,
     "events_latency_quantiles": q_events_latency_quantiles,
     "doc_token_count": q_doc_token_count,
@@ -1594,6 +1647,34 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name
+""",
+    "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  round(o_totalprice, 2) AS o_totalprice,
+  CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+    "pipeline_sink_rollup": _CTE + """
+, lab AS (
+  SELECT CASE WHEN signal_type = 'quarantine' OR bad_tool THEN 'quarantine'
+              ELSE signal_type || 's' END AS sink,
+         CASE WHEN signal_type = 'log'
+              THEN nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') END AS severity_text
+  FROM classified
+)
+SELECT sink, severity_text,
+  CAST(grouping(sink) AS INT) AS g_sink,
+  CAST(grouping(severity_text) AS INT) AS g_sev,
+  count(*) AS n
+FROM lab GROUP BY ROLLUP (sink, severity_text)
 """,
     "events_sessionize": """
 WITH g AS (
