@@ -676,8 +676,12 @@ def q_pipeline_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = synthesize_tool_catalog(spark, n_tools=N_CATALOG_TOOLS)
     labeled = build_labeled(_transcripts(spark, sf_dir), cat)
+    # project BEFORE rollup: the grouping-sets Expand replicates every row
+    # once per grouping set, so it must see only the grouping columns —
+    # expanding the full wide payload row measured 3.5x slower
     return (
-        labeled.rollup("sink", "severity_text")
+        labeled.select("sink", "severity_text")
+        .rollup("sink", "severity_text")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.grouping("sink").cast("int").alias("g_sink"),
