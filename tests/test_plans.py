@@ -147,3 +147,32 @@ def test_default_write_sort_keys_are_native_columns(spark):
     exprs_cased = sink_sort_exprs(df, SORT_STRATEGIES["default"])
     n_case = sum("CASE" in e._jc.toString() for e in exprs_cased)
     assert n_case == 1
+
+
+def test_bucketed_table_skips_exchange(spark, transcripts, tmp_path):
+    """Bucketed co-location: a table pre-bucketed on conv_id satisfies the
+    groupBy(conv_id) distribution requirement — the plan must contain NO
+    Exchange; and a self-join on conv_id shuffles NEITHER side. (The one
+    shuffle was paid at write time; at 10^12 turns this is the difference
+    between one shuffle ever and one per job.)"""
+    from otel_arrow_adapter_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    write_bucketed(
+        transcripts, "t_bucketed", n_buckets=4, path=str(tmp_path / "bucketed")
+    )
+    try:
+        t = read_bucketed(spark, "t_bucketed")
+        agg_plan = _plan(t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")))
+        assert "Exchange" not in agg_plan, agg_plan
+        # hint("merge"): at fixture size the planner would broadcast (and
+        # skip bucketing); at 10^12 rows broadcast is off the table and
+        # SMJ-over-buckets is exactly the plan — force it to assert the
+        # layout contract: NO shuffle on either side
+        j = t.alias("a").hint("merge").join(t.alias("b"), "conv_id")
+        join_plan = _plan(j.select("conv_id"))
+        assert "Exchange hashpartitioning" not in join_plan, join_plan
+        assert "SortMergeJoin" in join_plan
+        # correctness unchanged by the layout
+        assert t.count() == transcripts.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed")
