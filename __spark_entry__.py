@@ -840,6 +840,20 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk, the LLM pretraining regime):
+    per-doc start offset and first/last training-chunk ids within its
+    deterministic md5 shard's concatenated token stream. The running
+    offset window partitions by shard — never the whole corpus in one
+    task."""
+    from otel_arrow_adapter_spark.functions.text import pack_offsets, token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_offsets(d, budget=512, n_shards=16)
+
+
 def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pass (the shape every corpus runs
     before training): quality filter -> exact-dedup keeping the first
@@ -1098,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_clean_corpus": q_doc_clean_corpus,
+    "doc_pack_offsets": q_doc_pack_offsets,
     "doc_minhash_sig": q_doc_minhash_sig,
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -1840,6 +1855,25 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+    "doc_pack_offsets": """
+WITH toks AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT) % 16 AS INT) AS shard
+  FROM documents
+), offs AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens, start_off,
+  CAST(floor(start_off / 512) AS BIGINT) AS first_chunk,
+  CAST(CASE WHEN n_tokens > 0 THEN floor((start_off + n_tokens - 1) / 512)
+            ELSE floor(start_off / 512) END AS BIGINT) AS last_chunk
+FROM offs
 """,
     "doc_clean_corpus": _DOCS_PLUS_SQL + """,
 f AS (

@@ -97,3 +97,46 @@ def shingles(text: Column, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
     return F.array_distinct(grams)
+
+
+def pack_offsets(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 16,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    regime: documents are concatenated in a deterministic order and cut
+    every ``budget`` tokens. Output per document: its byte-stream shard,
+    start offset in the shard's concatenated token stream, and the first/
+    last chunk (training sequence) ids it lands in.
+
+    Distribution: each shard is an independent stream (deterministic md5
+    shard of doc_id, engine-portable), so the running-offset window
+    partitions by shard — state never funnels the whole corpus through
+    one task; at 10^12 docs pick n_shards ~ cluster cores x 4. The chunk
+    ids are shard-local; (shard << 32 | chunk) globalizes them."""
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    sharded = docs.withColumn("shard", shard)
+    start = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("long")
+    out = sharded.withColumn("start_off", start)
+    end = F.col("start_off") + F.col(token_col)
+    return out.select(
+        "doc_id",
+        "shard",
+        F.col(token_col).alias("n_tokens"),
+        "start_off",
+        F.floor(F.col("start_off") / budget).cast("long").alias("first_chunk"),
+        # empty docs occupy no chunk span: last = first
+        F.when(
+            F.col(token_col) > 0, F.floor((end - 1) / budget)
+        ).otherwise(F.floor(F.col("start_off") / budget)).cast("long").alias("last_chunk"),
+    )

@@ -381,3 +381,33 @@ def test_ann_projected_deterministic_planted_subset(spark, emb_with_dups):
         for r in brute_force_pairs(emb_with_dups, threshold=0.9).collect()
     }
     assert a <= brute
+
+
+def test_pack_offsets_chunking(spark):
+    """Concat-and-chunk packing: offsets are contiguous per shard, chunk
+    spans follow floor(offset/budget), empty docs occupy no span."""
+    from otel_arrow_adapter_spark.functions.text import pack_offsets
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 600), (5, 12)],
+        "doc_id long, n_tokens long",
+    )
+    rows = {r.doc_id: r for r in pack_offsets(df, budget=512, n_shards=1).collect()}
+    # single shard, ordered by doc_id: offsets 0,300,600,600,1200
+    assert [rows[i].start_off for i in (1, 2, 3, 4, 5)] == [0, 300, 600, 600, 1200]
+    assert (rows[1].first_chunk, rows[1].last_chunk) == (0, 0)
+    assert (rows[2].first_chunk, rows[2].last_chunk) == (0, 1)  # straddles 512
+    assert rows[3].first_chunk == rows[3].last_chunk  # empty doc: no span
+    assert (rows[4].first_chunk, rows[4].last_chunk) == (1, 2)
+    # sharded: every shard's offsets start at 0 and stay contiguous
+    many = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    packed = pack_offsets(many, budget=16, n_shards=4)
+    per_shard = packed.groupBy("shard").agg(
+        F.min("start_off").alias("mn"),
+        (F.max(F.col("start_off") + F.col("n_tokens"))).alias("end"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    for r in per_shard.collect():
+        assert r.mn == 0 and r.end == r.tot  # contiguous, gap-free stream
