@@ -280,16 +280,19 @@ def main() -> None:
     # per config): the shared host's load drifts on minute scales, and a
     # block of all-4N runs followed by a block of all-N runs folds that
     # drift straight into the efficiency ratio
+    # one timed run per subprocess: the min is taken ACROSS the interleaved
+    # subprocesses (2 independent JVMs per config), which buys the drift
+    # cancellation without doubling the slow N-core wall time
     t_4n_runs, t_n_runs = [], []
     for i in range(2):
         t_4n_runs.append(
             pipeline_in_subprocess(
-                scale_4n, in_path, f"{WORK}/out_4n_{i}", repeats=2, suppress=True
+                scale_4n, in_path, f"{WORK}/out_4n_{i}", repeats=1, suppress=True
             )["sec"]
         )
         t_n_runs.append(
             pipeline_in_subprocess(
-                scale_n, in_path, f"{WORK}/out_n_{i}", repeats=2, suppress=True
+                scale_n, in_path, f"{WORK}/out_n_{i}", repeats=1, suppress=True
             )["sec"]
         )
     t_4n, t_n = min(t_4n_runs), min(t_n_runs)
