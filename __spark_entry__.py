@@ -754,12 +754,15 @@ sh AS (
 
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from otel_arrow_adapter_spark.functions.text import token_count
+    """Whitespace token count + BPE-ish pre-tokenizer count (letter runs /
+    digit runs / single punctuation — the LLM-token estimate) + chars."""
+    from otel_arrow_adapter_spark.functions.text import bpe_token_count, token_count
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
@@ -1724,6 +1727,7 @@ FROM events GROUP BY event_type
 SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
   length(text)::BIGINT AS n_chars_actual
 FROM documents
 """,

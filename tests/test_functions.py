@@ -411,3 +411,17 @@ def test_pack_offsets_chunking(spark):
     )
     for r in per_shard.collect():
         assert r.mn == 0 and r.end == r.tot  # contiguous, gap-free stream
+
+
+def test_bpe_token_count_classes(spark):
+    """BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+    punctuation each count once — 'don't!' is 4 tokens, not 1."""
+    from otel_arrow_adapter_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't!"), (2, "abc 123 x-9"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = dict(df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect())
+    # don / ' / t / !  |  abc / 123 / x / - / 9
+    assert rows == {1: 4, 2: 5, 3: 0, 4: 0}
