@@ -1053,9 +1053,10 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via mapInPandas (decode STUBBED with a
-    deterministic payload-hash fake — real PIL/ffmpeg swap-in point). No SQL
-    oracle (sha-derived floats); correctness via pytest determinism tests.
-    Surface: per-mime feature norms."""
+    deterministic payload-hash fake — real PIL/ffmpeg swap-in point). The
+    fake is exact integer/65535.0 double arithmetic, so even the stub is
+    DuckDB-oracle-checked (sha256∘sha256 replayed in SQL); the Spark-side
+    plumbing under test — schema, Arrow batches, mapInPandas — is real."""
     from otel_arrow_adapter_spark.functions.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=200)
@@ -1623,6 +1624,26 @@ UNION ALL SELECT 'span_links', count(*) FROM tln
 UNION ALL SELECT 'span_link_attrs', CAST(coalesce(sum(
     CASE WHEN (h + l + 7) % 4 <> 0 THEN 1 ELSE 0 END
     + CASE WHEN (h + l + 7) % 5 <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM tln
+""",
+    # The stubbed decode replayed exactly: payload = ascii-hex of
+    # sha256(str(id)); features = uint16-LE pairs of sha256(payload)
+    # / 65535.0 in doubles; sq_norm folds in array order (0 + f0^2) + ...
+    "media_features": """
+WITH media AS (
+  SELECT i AS media_id,
+    CASE WHEN i % 5 = 0 THEN 'video/mp4'
+         WHEN i % 3 = 0 THEN 'image/png'
+         ELSE 'image/jpeg' END AS mime,
+    sha256(sha256(CAST(i AS VARCHAR))) AS h
+  FROM range(0, 200) t(i)
+), fvals AS (
+  SELECT media_id, mime,
+    (CAST('0x' || substr(h, 4 * j.i + 1, 2) AS UBIGINT)
+     + 256 * CAST('0x' || substr(h, 4 * j.i + 3, 2) AS UBIGINT)) / 65535.0 AS f
+  FROM media, range(0, 16) j(i)
+)
+SELECT media_id, mime, round(sum(f * f), 6) AS sq_norm
+FROM fvals GROUP BY 1, 2
 """,
     "media_frame_sample": """
 WITH media AS (
@@ -2231,8 +2252,9 @@ FROM scoredq ORDER BY rank LIMIT 10
 """
 )
 
-# Remaining rows-only query: media_features (decode honestly stubbed — its
-# sha-derived floats have no SQL equivalent); pytest-gated determinism.
+# Every queries() entry has an oracle_sql() entry: zero rows-only queries.
+# (The multimodal decode stays an honest codec stub — but the stub's exact
+# double arithmetic is itself SQL-replayed, so the plumbing is hash-gated.)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -67,11 +67,14 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     Raises NotImplementedError if the payload looks like a real container
     format we can't decode here."""
     if payload is None:
-        return np.zeros(FEATURE_DIM, dtype=np.float32)
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
     if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
         raise NotImplementedError("real codec decode not available in this container")
     h = hashlib.sha256(payload).digest()
-    return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
+    # float64, not float32: the fake is exact integer/65535.0 arithmetic,
+    # which any engine reproduces bit-for-bit in doubles — making even the
+    # stubbed decode DuckDB-oracle-checkable (float32 rounding would not be)
+    return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64) / 65535.0
 
 
 def extract_features(media: DataFrame, batch_size: int = 512) -> DataFrame:
@@ -90,7 +93,7 @@ def extract_features(media: DataFrame, batch_size: int = 512) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return media.mapInPandas(op, schema="media_id long, features array<float>")
+    return media.mapInPandas(op, schema="media_id long, features array<double>")
 
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
