@@ -193,6 +193,25 @@ def q_pipeline_enrich_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of / SCD2) enrichment: each turn resolves the catalog
+    version in effect at its timestamp. Zero fact-side shuffle: versions
+    collapse to one broadcast row per tool carrying a sorted array; the
+    as-of lookup is a pure array expression (operators/enrich.py)."""
+    from otel_arrow_adapter_spark.datagen.transcripts import (
+        synthesize_tool_catalog_versions,
+    )
+    from otel_arrow_adapter_spark.operators.enrich import enrich_asof
+
+    t = _transcripts(spark, sf_dir).where(F.col("tool").isNotNull())
+    vers = synthesize_tool_catalog_versions(spark, n_tools=7)
+    return (
+        enrich_asof(t, vers)
+        .groupBy("service_name")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.countDistinct("conv_id").alias("n_convs"))
+    )
+
+
 def q_pipeline_attrs_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4/P8: long attrs table — the full AnyValue union (6 type tags:
     str/int/double/bool/bytes/ser; bytes surfaced as hex for the
@@ -1077,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_parse_metrics": q_pipeline_parse_metrics,
     "pipeline_parse_traces": q_pipeline_parse_traces,
     "pipeline_enrich_services": q_pipeline_enrich_services,
+    "pipeline_enrich_asof": q_pipeline_enrich_asof,
     "pipeline_attrs_melt": q_pipeline_attrs_melt,
     "pipeline_stable_order": q_pipeline_stable_order,
     "pipeline_dict_tool": q_pipeline_dict_tool,
@@ -1175,6 +1195,27 @@ FROM classified WHERE signal_type = 'trace'
 SELECT service_name, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
 FROM classified WHERE service_name IS NOT NULL
 GROUP BY 1
+""",
+    "pipeline_enrich_asof": duckdb_transcripts_cte() + """,
+vers AS (
+  SELECT 'tool-' || CAST(i AS VARCHAR) AS tool,
+         CAST(1704067200000000 AS BIGINT) AS vf,
+         'service-' || CAST(i % 10 AS VARCHAR) AS service_name
+  FROM range(0, 7) t(i)
+  UNION ALL
+  SELECT 'tool-' || CAST(i AS VARCHAR), CAST(1705276800000000 AS BIGINT),
+         'service-v2-' || CAST(i % 5 AS VARCHAR)
+  FROM range(0, 7) t(i)
+), matched AS (
+  SELECT t.conv_id, v.service_name,
+    row_number() OVER (PARTITION BY t.conv_id, t.turn_idx
+                       ORDER BY v.vf DESC) AS rn
+  FROM transcripts t JOIN vers v
+    ON t.tool = v.tool AND v.vf <= epoch_us(t.ts)
+  WHERE t.tool IS NOT NULL
+)
+SELECT service_name, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+FROM matched WHERE rn = 1 GROUP BY 1
 """,
     "pipeline_attrs_melt": _CTE + """
 , parsed AS (

@@ -238,3 +238,22 @@ def synthesize_tool_catalog(spark: SparkSession, n_tools: int = 45, seed: int = 
             ).alias("resource_attrs"),
         )
     )
+
+
+def synthesize_tool_catalog_versions(spark: SparkSession, n_tools: int = 7) -> DataFrame:
+    """SCD2 versioned tool catalog for the as-of enrichment: every tool has
+    a v1 row valid from the epoch and a v2 row (renamed service) valid from
+    2024-01-15 — mid-way through the events table's timestamp range, so
+    both versions are actually selected by real rows. Deterministic pure
+    column expressions; trivially replayed by the DuckDB oracle."""
+    v1 = spark.range(0, n_tools, 1, 1).select(
+        F.format_string("tool-%d", F.col("id")).alias("tool"),
+        F.lit(1_704_067_200_000_000).alias("valid_from_us"),  # 2024-01-01
+        F.format_string("service-%d", F.col("id") % 10).alias("service_name"),
+    )
+    v2 = spark.range(0, n_tools, 1, 1).select(
+        F.format_string("tool-%d", F.col("id")).alias("tool"),
+        F.lit(1_705_276_800_000_000).alias("valid_from_us"),  # 2024-01-15
+        F.format_string("service-v2-%d", F.col("id") % 5).alias("service_name"),
+    )
+    return v1.unionByName(v2)

@@ -161,3 +161,29 @@ def test_field_frequencies_topk_ties(spark):
     )
     rows = {(r["column"], r["value"]): r["n"] for r in field_frequencies(df, ["u", "v"], k=2).collect()}
     assert rows == {("u", "a"): 2, ("u", "b"): 2, ("v", "y"): 2, ("v", "x"): 1}
+
+
+def test_enrich_asof_picks_version_at_timestamp(spark):
+    """As-of enrichment: the newest version with valid_from <= ts wins;
+    rows before every version get null; no fact-side shuffle (broadcast +
+    array lookup only)."""
+    from otel_arrow_adapter_spark.operators.enrich import enrich_asof
+
+    facts = spark.createDataFrame(
+        [("t1", "2024-01-01 00:00:00"), ("t1", "2024-02-01 00:00:00"),
+         ("t1", "2023-01-01 00:00:00"), ("t2", "2024-02-01 00:00:00")],
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    vers = spark.createDataFrame(
+        [("t1", 1704067200000000, "svc-a"), ("t1", 1705276800000000, "svc-b"),
+         ("t2", 1704067200000000, "svc-c")],
+        "tool string, valid_from_us long, service_name string",
+    )
+    out = enrich_asof(facts, vers)
+    rows = [(r.tool, str(r.ts), r.service_name) for r in out.collect()]
+    assert ("t1", "2024-01-01 00:00:00", "svc-a") in rows
+    assert ("t1", "2024-02-01 00:00:00", "svc-b") in rows
+    assert ("t1", "2023-01-01 00:00:00", None) in rows  # predates all versions
+    assert ("t2", "2024-02-01 00:00:00", "svc-c") in rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
