@@ -104,3 +104,24 @@ def field_frequencies(df: DataFrame, columns: list[str], k: int = 5) -> DataFram
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def distinct_sketch_counts(
+    df: DataFrame, group_col: str, target_col: str, lg_k: int = 12
+) -> tuple[DataFrame, DataFrame]:
+    """Sketch-based distinct counting (the A2 analyzer at 100 TB): per-group
+    HLL sketches are built map-side (datasketches HllSketch — mergeable,
+    unlike approx_count_distinct's opaque partial) and the GLOBAL estimate
+    comes from hll_union_agg over the per-group sketches — merging O(groups)
+    kilobyte sketches instead of re-scanning the data or shuffling every
+    distinct value. Returns (per-group estimates, global estimate)."""
+    per = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(target_col, F.lit(lg_k)).alias("_sk")
+    )
+    per_counts = per.select(
+        group_col, F.hll_sketch_estimate("_sk").alias("n_distinct_est")
+    )
+    global_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk", F.lit(True))).alias("n_distinct_est")
+    )
+    return per_counts, global_est

@@ -187,3 +187,24 @@ def test_enrich_asof_picks_version_at_timestamp(spark):
     assert ("t2", "2024-02-01 00:00:00", "svc-c") in rows
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_distinct_sketch_merges(spark, transcripts):
+    """HLL sketch distinct counts: per-group estimates within 5% of exact,
+    and the GLOBAL estimate obtained purely by merging per-group sketches
+    (no rescan) matches the exact global distinct within 5% — the
+    mergeability property exact countDistinct partials lack."""
+    from otel_arrow_adapter_spark.operators.aggregate import distinct_sketch_counts
+
+    per, glob = distinct_sketch_counts(transcripts, "role", "conv_id")
+    exact = {
+        r.role: r.n
+        for r in transcripts.groupBy("role")
+        .agg(F.countDistinct("conv_id").alias("n"))
+        .collect()
+    }
+    for r in per.collect():
+        assert abs(r.n_distinct_est - exact[r.role]) <= max(1, 0.05 * exact[r.role])
+    exact_glob = transcripts.select("conv_id").distinct().count()
+    est_glob = glob.collect()[0].n_distinct_est
+    assert abs(est_glob - exact_glob) <= max(1, 0.05 * exact_glob)
