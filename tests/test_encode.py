@@ -108,3 +108,41 @@ def test_delta_group_roundtrip_bucketed(spark, attrs):
     n_scopes = enc.select("key", "enc_bucket").distinct().count()
     n_keys = enc.select("key").distinct().count()
     assert n_scopes > n_keys
+
+
+def test_delta_group_roundtrip_property(spark):
+    """Property form of encode∘decode == id (hypothesis): arbitrary
+    (key, value, parent_id) multisets — duplicate rows, null values,
+    colliding parents, bucketed state scopes — must all round-trip
+    exactly. The reference's validation tests generate random inputs the
+    same way (pkg/datagen seeded entropy, validation_test.go:53-124)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.integers(min_value=0, max_value=1_000_000),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(row, min_size=1, max_size=50))
+    def check(rows):
+        df = spark.createDataFrame(
+            [(k, 1, v, p) for k, v, p in rows],
+            "key string, type tinyint, str string, parent_id long",
+        )
+        for n_buckets in (0, 4):
+            enc = delta_encode_parent_ids(
+                with_encode_order(df, n_buckets=n_buckets), n_buckets=n_buckets
+            )
+            dec = delta_decode_parent_ids(enc.drop("parent_id"))
+            a = df.select("key", "type", "str", "parent_id")
+            b = dec.select("key", "type", "str", "parent_id")
+            assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    check()
