@@ -459,6 +459,18 @@ def q_pipeline_metrics_exp_hist_dp(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_pipeline_metrics_temporality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporality conversion (cumulative -> delta, the collector's
+    cumulativetodelta semantics incl. counter-reset restart): per-series
+    lag window — parallel across (metric, unit, conversation) series,
+    never global."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import cumulative_to_delta
+
+    return cumulative_to_delta(_metric_points(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "metric_name", "metric_unit", "delta"
+    )
+
+
 def q_pipeline_metrics_summary_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SummaryDP rollup: count/sum + exact quantile values
     (summary_dp.go:36 shape; percentile_approx is the 10^12-row path)."""
@@ -1113,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_metrics_hist_dp": q_pipeline_metrics_hist_dp,
     "pipeline_metrics_exp_hist_dp": q_pipeline_metrics_exp_hist_dp,
     "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
+    "pipeline_metrics_temporality": q_pipeline_metrics_temporality,
     "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
     "pipeline_metrics_dp_records": q_pipeline_metrics_dp_records,
     "pipeline_metrics_multivariate": q_pipeline_metrics_multivariate,
@@ -1507,6 +1520,25 @@ SELECT metric_name, metric_unit,
   CAST(min(v) AS BIGINT) AS "min",
   CAST(max(v) AS BIGINT) AS "max"
 FROM pts GROUP BY 1, 2
+""",
+    "pipeline_metrics_temporality": _CTE + """
+, pts AS (
+  SELECT conv_id, turn_idx,
+    nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+), lagged AS (
+  SELECT conv_id, turn_idx, metric_name, metric_unit, v,
+    lag(v) OVER (PARTITION BY metric_name, metric_unit, conv_id
+                 ORDER BY turn_idx) AS prev
+  FROM pts
+)
+SELECT conv_id, turn_idx, metric_name, metric_unit,
+  CASE WHEN prev IS NULL THEN v
+       WHEN v < prev THEN v
+       ELSE v - prev END AS delta
+FROM lagged
 """,
     "pipeline_metrics_summary_dp": _CTE + """
 , pts AS (

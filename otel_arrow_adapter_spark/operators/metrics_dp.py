@@ -545,3 +545,48 @@ def write_multivariate_layouts(wide: DataFrame, out_dir: str) -> None:
     uni.write.mode("overwrite").option("compression", "gzip").json(
         f"{out_dir}/uni_json/number_dp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporality conversion (the collector's cumulativetodelta processor
+# family; aggregation_temporality is carried by the star schema above)
+# ---------------------------------------------------------------------------
+
+def cumulative_to_delta(
+    points: DataFrame,
+    series_cols: tuple[str, ...] = ("metric_name", "metric_unit", "conv_id"),
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    value_col: str = "metric_value",
+    out_col: str = "delta",
+) -> DataFrame:
+    """OTLP cumulative -> delta temporality: per-series lag difference.
+    First point of a series keeps its value (delta from the implicit 0);
+    a counter RESET (value < previous) restarts the series (delta =
+    value) — the standard collector semantics. Window partitions by the
+    series key, so state is per-series and the transform parallelizes
+    across series (never a global window)."""
+    w = Window.partitionBy(*series_cols).orderBy(*order_cols)
+    prev = F.lag(value_col).over(w)
+    delta = (
+        F.when(prev.isNull(), F.col(value_col))
+        .when(F.col(value_col) < prev, F.col(value_col))
+        .otherwise(F.col(value_col) - prev)
+    )
+    return points.withColumn(out_col, delta)
+
+
+def delta_to_cumulative(
+    points: DataFrame,
+    series_cols: tuple[str, ...] = ("metric_name", "metric_unit", "conv_id"),
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    value_col: str = "delta",
+    out_col: str = "value",
+) -> DataFrame:
+    """Inverse for reset-free series: running sum per series (W2's
+    running-reconstruction idiom). cumulative_to_delta ∘ this == id on
+    nondecreasing inputs (pytest-gated); resets are inherently lossy."""
+    w = Window.partitionBy(*series_cols).orderBy(*order_cols)
+    return points.withColumn(
+        out_col,
+        F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

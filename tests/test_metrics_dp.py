@@ -212,3 +212,27 @@ def test_multivariate_layouts_equivalent(spark):
         for r in uni.groupBy("metric_name").agg(F.sum("value").alias("s")).collect()
     }
     assert all(uni_sums[f"v_{j}"] == wide_sums[f"v_{j}"] for j in range(3))
+
+
+def test_temporality_roundtrip_and_resets(spark):
+    """cumulative->delta->cumulative == id on reset-free series; resets
+    restart the series with delta = value (collector semantics)."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        cumulative_to_delta,
+        delta_to_cumulative,
+    )
+
+    rows = [("m", "ms", "c1", i, v) for i, v in enumerate([3, 7, 7, 15])] + [
+        ("m", "ms", "c2", i, v) for i, v in enumerate([10, 12, 4, 9])  # reset at 4
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_name string, metric_unit string, conv_id string, turn_idx int, metric_value long"
+    )
+    d = cumulative_to_delta(df)
+    got = {(r.conv_id, r.turn_idx): r.delta for r in d.collect()}
+    assert [got[("c1", i)] for i in range(4)] == [3, 4, 0, 8]
+    assert [got[("c2", i)] for i in range(4)] == [10, 2, 4, 5]  # reset restarts
+    # reset-free series round-trips exactly
+    c1 = d.where(F.col("conv_id") == "c1")
+    back = delta_to_cumulative(c1)
+    assert {(r.turn_idx, r.value) for r in back.collect()} == {(0, 3), (1, 7), (2, 7), (3, 15)}
