@@ -1,2 +1,8 @@
-from .pipeline import build_labeled, counts_from_routed, pipeline_sinks, run_pipeline  # noqa: F401
+from .pipeline import (  # noqa: F401
+    build_labeled,
+    counts_from_routed,
+    pipeline_sinks,
+    replay_quarantine,
+    run_pipeline,
+)
 from .ledger import Ledger  # noqa: F401

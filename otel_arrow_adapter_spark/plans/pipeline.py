@@ -143,3 +143,56 @@ def run_pipeline(
 def pipeline_sinks(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     """Typed per-sink views over a completed run's output."""
     return read_sinks(spark, out_dir)
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    catalog: DataFrame,
+    out_dir: str,
+    run_id: str = "replay-0",
+) -> DataFrame:
+    """Dead-letter reprocessing: re-run quarantined rows against an updated
+    catalog and move the now-valid ones into their proper sinks.
+
+    The quarantine sink is the pipeline's dead-letter queue (unknown tools,
+    unparseable text). When the catalog gains the missing tools, this
+    replays ONLY the quarantine partition (never the healthy sinks' data):
+    re-parse -> re-enrich -> re-route; newly-valid rows APPEND to their
+    signal sinks and the quarantine partition is rewritten with just the
+    still-bad remainder. Dynamic partition overwrite keeps every other
+    partition untouched — the same no-loss/no-duplication contract as the
+    resumable buckets. Returns the per-sink counts of the replayed rows."""
+    from ..operators.route import restore_text
+
+    # stage the dead-letter rows OUT of the routed dir first: Spark cannot
+    # overwrite a path a live plan still reads, and the replay must see a
+    # consistent pre-replay snapshot
+    staging = f"{out_dir}/_replay_staging"
+    (
+        restore_text(
+            spark.read.parquet(f"{out_dir}/routed").where(F.col("sink") == "quarantine")
+        )
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    relabeled = build_labeled(spark.read.parquet(staging), catalog)
+    counts = relabeled.groupBy("sink").agg(F.count(F.lit(1)).alias("n_rows"))
+    # append recovered rows to their sinks; rewrite ONLY the quarantine
+    # partition with the remainder (dynamic overwrite touches just it)
+    write_routed(
+        relabeled.where(F.col("sink") != "quarantine"),
+        out_dir,
+        mode="append",
+        suppress_text=True,
+    )
+    write_routed(
+        relabeled.where(F.col("sink") == "quarantine"),
+        out_dir,
+        mode="overwrite",
+        suppress_text=True,
+    )
+    counts.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+        f"{out_dir}/replay_counts"
+    )
+    return spark.read.parquet(f"{out_dir}/replay_counts").where(F.col("run_id") == run_id)

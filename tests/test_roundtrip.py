@@ -251,3 +251,31 @@ def test_compact_routed_preserves_rows(spark, transcripts, small_catalog, tmp_pa
         b = spark.read.parquet(f"{out}/routed_compacted/sink={sink}")
         assert a.count() == b.count()
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_replay_quarantine_recovers_rows(spark, transcripts, small_catalog, catalog, tmp_path):
+    """Dead-letter replay: after the catalog gains the missing tool, the
+    previously-quarantined unknown-tool rows move to their signal sinks,
+    only unparseable rows remain quarantined, and the union of sinks still
+    round-trips exactly (no loss, no duplication)."""
+    from otel_arrow_adapter_spark.plans import replay_quarantine
+
+    out = str(tmp_path / "out_replay")
+    run_pipeline(spark, transcripts, small_catalog, out, run_id="r0")
+    before = spark.read.parquet(f"{out}/routed")
+    n_total = before.count()
+    n_quar_before = before.where(F.col("sink") == "quarantine").count()
+    # full catalog covers tool-6 -> unknown-tool rows become routable
+    replay_quarantine(spark, catalog, out, run_id="rp1")
+    after = spark.read.parquet(f"{out}/routed")
+    assert after.count() == n_total  # no loss, no duplication
+    n_quar_after = after.where(F.col("sink") == "quarantine").count()
+    assert n_quar_after < n_quar_before
+    # remaining quarantine is exactly the unparseable rows
+    assert (
+        after.where(F.col("sink") == "quarantine")
+        .where(~F.col("text").rlike("^!!corrupt"))
+        .count()
+        == 0
+    )
+    assert _roundtrip_diff(transcripts, reconstruct_turns(pipeline_sinks(spark, out))) == 0
