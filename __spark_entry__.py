@@ -1100,13 +1100,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordering matters: the driver samples the FIRST 50 entries for its
+# oracle-correctness gate (CORRECTNESS_r{N}.json).  Queries that have never
+# (or not recently) been behind that gate come first; the long-stable
+# parse/metrics family (driver-green in r1-r3, unchanged code) rotates to
+# the tail.  See VERDICT.md r3 item 2.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-checked (new in r3) --
+    "emb_ann_pairs_banded": q_emb_ann_pairs_banded,
+    "emb_ivf_search_trained": q_emb_ivf_search_trained,
+    "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    # -- outside the r3 sample (driver-green only in r2) --
+    "doc_lsh_candidates": q_doc_lsh_candidates,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_simhash_near_dups": q_doc_simhash_near_dups,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ivf_assign": q_emb_ivf_assign,
+    "emb_ann_pairs": q_emb_ann_pairs,
+    "emb_ann_pairs_multiprobe": q_emb_ann_pairs_multiprobe,
+    "emb_ivf_search": q_emb_ivf_search,
+    # -- red in r1-r3 (oracle cast fixed this round), keep gated --
+    "pipeline_severity_rollup": q_pipeline_severity_rollup,
+    # -- the rest --
     "pipeline_sink_counts": q_pipeline_sink_counts,
-    "pipeline_parse_logs": q_pipeline_parse_logs,
-    "pipeline_parse_logs_arrow": q_pipeline_parse_logs_arrow,
-    "pipeline_parse_logs_grok": q_pipeline_parse_logs_grok,
-    "pipeline_parse_metrics": q_pipeline_parse_metrics,
-    "pipeline_parse_traces": q_pipeline_parse_traces,
     "pipeline_enrich_services": q_pipeline_enrich_services,
     "pipeline_enrich_asof": q_pipeline_enrich_asof,
     "pipeline_attrs_melt": q_pipeline_attrs_melt,
@@ -1114,19 +1130,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_dict_tool": q_pipeline_dict_tool,
     "pipeline_delta_encode": q_pipeline_delta_encode,
     "pipeline_route_quarantine": q_pipeline_route_quarantine,
-    "pipeline_severity_rollup": q_pipeline_severity_rollup,
     "pipeline_roundtrip": q_pipeline_roundtrip,
     "pipeline_obfuscate": q_pipeline_obfuscate,
     "pipeline_schema_analyzer": q_pipeline_schema_analyzer,
     "pipeline_weighted_split": q_pipeline_weighted_split,
     "pipeline_field_frequencies": q_pipeline_field_frequencies,
     "pipeline_delta_ids": q_pipeline_delta_ids,
-    "pipeline_metrics_number_dp": q_pipeline_metrics_number_dp,
-    "pipeline_metrics_hist_dp": q_pipeline_metrics_hist_dp,
-    "pipeline_metrics_exp_hist_dp": q_pipeline_metrics_exp_hist_dp,
-    "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
-    "pipeline_metrics_temporality": q_pipeline_metrics_temporality,
-    "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
     "pipeline_metrics_dp_records": q_pipeline_metrics_dp_records,
     "pipeline_metrics_multivariate": q_pipeline_metrics_multivariate,
     "pipeline_span_events": q_pipeline_span_events,
@@ -1151,17 +1160,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_clean_corpus": q_doc_clean_corpus,
     "doc_pack_offsets": q_doc_pack_offsets,
     "doc_minhash_sig": q_doc_minhash_sig,
-    "doc_lsh_candidates": q_doc_lsh_candidates,
-    "doc_jaccard_pairs": q_doc_jaccard_pairs,
-    "doc_simhash_near_dups": q_doc_simhash_near_dups,
-    "emb_cosine_topk": q_emb_cosine_topk,
-    "emb_ivf_assign": q_emb_ivf_assign,
-    "emb_ann_pairs": q_emb_ann_pairs,
-    "emb_ann_pairs_multiprobe": q_emb_ann_pairs_multiprobe,
-    "emb_ann_pairs_banded": q_emb_ann_pairs_banded,
-    "emb_ivf_search": q_emb_ivf_search,
-    "emb_ivf_search_trained": q_emb_ivf_search_trained,
-    "emb_kmeans_centroids": q_emb_kmeans_centroids,
+    # -- long-stable tail (driver-green r1-r3, code unchanged) --
+    "pipeline_parse_logs": q_pipeline_parse_logs,
+    "pipeline_parse_logs_arrow": q_pipeline_parse_logs_arrow,
+    "pipeline_parse_logs_grok": q_pipeline_parse_logs_grok,
+    "pipeline_parse_metrics": q_pipeline_parse_metrics,
+    "pipeline_parse_traces": q_pipeline_parse_traces,
+    "pipeline_metrics_number_dp": q_pipeline_metrics_number_dp,
+    "pipeline_metrics_hist_dp": q_pipeline_metrics_hist_dp,
+    "pipeline_metrics_exp_hist_dp": q_pipeline_metrics_exp_hist_dp,
+    "pipeline_metrics_summary_dp": q_pipeline_metrics_summary_dp,
+    "pipeline_metrics_temporality": q_pipeline_metrics_temporality,
+    "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
 }
 
 
@@ -1292,8 +1302,8 @@ FROM classified WHERE signal_type = 'quarantine' OR bad_tool
     "pipeline_severity_rollup": _CTE + """
 SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
        count(*) AS n,
-       sum(CASE WHEN nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true'
-                THEN 1 ELSE 0 END) AS n_retry,
+       CAST(sum(CASE WHEN nullif(regexp_extract(text, ' retry=(true|false)', 1), '') = 'true'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_retry,
        CAST(sum(CAST(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_code,
        count(nullif(regexp_extract(text, ' code=([0-9]+)', 1), '')) AS n_code
 FROM classified WHERE signal_type = 'log'

@@ -150,49 +150,97 @@ def replay_quarantine(
     catalog: DataFrame,
     out_dir: str,
     run_id: str = "replay-0",
+    n_buckets: int = 0,
 ) -> DataFrame:
     """Dead-letter reprocessing: re-run quarantined rows against an updated
     catalog and move the now-valid ones into their proper sinks.
 
     The quarantine sink is the pipeline's dead-letter queue (unknown tools,
     unparseable text). When the catalog gains the missing tools, this
-    replays ONLY the quarantine partition (never the healthy sinks' data):
-    re-parse -> re-enrich -> re-route; newly-valid rows APPEND to their
-    signal sinks and the quarantine partition is rewritten with just the
-    still-bad remainder. Dynamic partition overwrite keeps every other
-    partition untouched — the same no-loss/no-duplication contract as the
-    resumable buckets. Returns the per-sink counts of the replayed rows."""
+    replays ONLY the quarantine partition(s) (never the healthy sinks'
+    data): re-parse -> re-enrich -> re-route; newly-valid rows APPEND to
+    their signal sinks, the remainder is rewritten as the new quarantine,
+    and any quarantine partition whose rows ALL recovered is deleted
+    outright — a dynamic overwrite alone would leave a fully-recovered
+    partition's old files on disk (empty writes touch no partitions),
+    duplicating every recovered row. Returns per-sink replayed-row counts.
+
+    For a bucketed/resumable run (``run_pipeline(n_buckets>0)``) the routed
+    layout is bucket=*/sink=*; pass the SAME ``n_buckets`` so the replay
+    re-derives each row's bucket (pure projection on conv_id — no join) and
+    rewrites bucket-scoped quarantine partitions. Production target is one
+    Iceberg ``DELETE FROM routed WHERE sink='quarantine'`` + append in a
+    single transaction; the partition-dir delete is the parquet-layout
+    analog of that metadata operation."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
     from ..operators.route import restore_text
+
+    routed = spark.read.parquet(f"{out_dir}/routed")
+    bucketed = "bucket" in routed.columns
+    if bucketed and n_buckets <= 0:
+        raise ValueError(
+            "routed table is bucket-partitioned (bucket=*/sink=*); pass the "
+            "pipeline's n_buckets so replay can re-derive bucket labels"
+        )
 
     # stage the dead-letter rows OUT of the routed dir first: Spark cannot
     # overwrite a path a live plan still reads, and the replay must see a
     # consistent pre-replay snapshot
     staging = f"{out_dir}/_replay_staging"
     (
-        restore_text(
-            spark.read.parquet(f"{out_dir}/routed").where(F.col("sink") == "quarantine")
-        )
+        restore_text(routed.where(F.col("sink") == "quarantine"))
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
         .write.mode("overwrite")
         .parquet(staging)
     )
     relabeled = build_labeled(spark.read.parquet(staging), catalog)
-    counts = relabeled.groupBy("sink").agg(F.count(F.lit(1)).alias("n_rows"))
-    # append recovered rows to their sinks; rewrite ONLY the quarantine
-    # partition with the remainder (dynamic overwrite touches just it)
-    write_routed(
-        relabeled.where(F.col("sink") != "quarantine"),
-        out_dir,
-        mode="append",
-        suppress_text=True,
-    )
-    write_routed(
-        relabeled.where(F.col("sink") == "quarantine"),
-        out_dir,
-        mode="overwrite",
-        suppress_text=True,
-    )
-    counts.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
-        f"{out_dir}/replay_counts"
-    )
+    if bucketed:
+        # same derivation as run_pipeline — rows land back in their bucket
+        relabeled = relabeled.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+        )
+    relabeled = relabeled.persist()
+    try:
+        counts = relabeled.groupBy("sink").agg(F.count(F.lit(1)).alias("n_rows"))
+        extra = ("bucket",) if bucketed else ()
+        remainder = relabeled.where(F.col("sink") == "quarantine")
+        # append recovered rows to their signal sinks (dynamic append —
+        # healthy partitions gain files, nothing is rewritten)
+        write_routed(
+            relabeled.where(F.col("sink") != "quarantine"),
+            out_dir,
+            mode="append",
+            extra_partition_cols=extra,
+            suppress_text=True,
+        )
+        # rewrite the quarantine partitions that still HAVE a remainder...
+        if bucketed:
+            live = {r[0] for r in remainder.select("bucket").distinct().collect()}
+            if live:
+                write_routed(
+                    remainder, out_dir, mode="overwrite",
+                    extra_partition_cols=extra, suppress_text=True,
+                )
+            # ...and delete the ones that fully recovered: their rows were
+            # just appended to signal sinks, so the old files are duplicates
+            for d in _glob.glob(f"{out_dir}/routed/bucket=*/sink=quarantine"):
+                b = int(_re.search(r"bucket=(-?\d+)", d).group(1))
+                if b not in live:
+                    _shutil.rmtree(d, ignore_errors=True)
+        else:
+            n_rem = next(
+                (r["n_rows"] for r in counts.collect() if r["sink"] == "quarantine"), 0
+            )
+            if n_rem > 0:
+                write_routed(remainder, out_dir, mode="overwrite", suppress_text=True)
+            else:
+                _shutil.rmtree(f"{out_dir}/routed/sink=quarantine", ignore_errors=True)
+        counts.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            f"{out_dir}/replay_counts"
+        )
+    finally:
+        relabeled.unpersist()
     return spark.read.parquet(f"{out_dir}/replay_counts").where(F.col("run_id") == run_id)

@@ -279,3 +279,71 @@ def test_replay_quarantine_recovers_rows(spark, transcripts, small_catalog, cata
         == 0
     )
     assert _roundtrip_diff(transcripts, reconstruct_turns(pipeline_sinks(spark, out))) == 0
+
+
+def test_replay_quarantine_full_recovery_no_duplicates(
+    spark, transcripts, small_catalog, catalog, tmp_path
+):
+    """When the updated catalog recovers EVERY quarantined row, the old
+    quarantine partition must be deleted, not merely left untouched by an
+    empty dynamic overwrite — otherwise each recovered row exists twice
+    (once appended to its signal sink, once in the stale quarantine)."""
+    import os
+
+    from otel_arrow_adapter_spark.plans import replay_quarantine
+
+    clean = transcripts.where(~F.col("text").rlike("^!!corrupt"))
+    out = str(tmp_path / "out_replay_full")
+    run_pipeline(spark, clean, small_catalog, out, run_id="r0")
+    before = spark.read.parquet(f"{out}/routed")
+    n_total = before.count()
+    assert before.where(F.col("sink") == "quarantine").count() > 0
+    replay_quarantine(spark, catalog, out, run_id="rp-full")
+    after = spark.read.parquet(f"{out}/routed")
+    assert after.count() == n_total  # no loss, NO duplication
+    assert after.where(F.col("sink") == "quarantine").count() == 0
+    assert not os.path.isdir(f"{out}/routed/sink=quarantine")
+    assert _roundtrip_diff(clean, reconstruct_turns(pipeline_sinks(spark, out))) == 0
+
+
+def test_replay_quarantine_bucketed_layout(
+    spark, transcripts, small_catalog, catalog, tmp_path
+):
+    """Bucketed/resumable runs partition routed by (bucket, sink); replay
+    must carry each row's bucket (re-derived from conv_id) so the layout
+    stays uniform, rewrite only still-bad bucket quarantines, and delete
+    fully-recovered ones."""
+    import glob
+    import re
+
+    import pytest as _pytest
+
+    from otel_arrow_adapter_spark.plans import replay_quarantine
+
+    out = str(tmp_path / "out_replay_bucketed")
+    run_pipeline(spark, transcripts, small_catalog, out, run_id="r0", n_buckets=4)
+    before = spark.read.parquet(f"{out}/routed")
+    n_total = before.count()
+    n_quar_before = before.where(F.col("sink") == "quarantine").count()
+    assert n_quar_before > 0
+
+    # bucketed routed dir without n_buckets is a hard error, not silent corruption
+    with _pytest.raises(ValueError, match="bucket-partitioned"):
+        replay_quarantine(spark, catalog, out, run_id="rp-bad")
+
+    replay_quarantine(spark, catalog, out, run_id="rp-b", n_buckets=4)
+    after = spark.read.parquet(f"{out}/routed")
+    assert after.count() == n_total  # no loss, no duplication
+    # remaining quarantine is exactly the unparseable rows, still bucketed
+    rem = after.where(F.col("sink") == "quarantine")
+    assert rem.where(~F.col("text").rlike("^!!corrupt")).count() == 0
+    assert rem.count() == transcripts.where(F.col("text").rlike("^!!corrupt")).count()
+    # layout is uniform: every quarantine dir sits under a bucket dir, and
+    # only buckets with a remainder keep one
+    live = {r[0] for r in rem.select("bucket").distinct().collect()}
+    on_disk = {
+        int(re.search(r"bucket=(-?\d+)", d).group(1))
+        for d in glob.glob(f"{out}/routed/bucket=*/sink=quarantine")
+    }
+    assert on_disk == set(live)
+    assert _roundtrip_diff(transcripts, reconstruct_turns(pipeline_sinks(spark, out))) == 0
