@@ -522,6 +522,8 @@ def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame
     # persist: 9 per-record count branches would otherwise each re-run the
     # generator's shuffles; the cached 300-row nested table makes each
     # branch a local explode+agg
+    from otel_arrow_adapter_spark.caching import owned_result
+
     nested = synthesize_metrics_nested(spark, n_metrics=300).persist()
     records = encode_metrics(nested)
     parts = [
@@ -531,7 +533,7 @@ def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return owned_result(out, nested)
 
 
 # ---------------------------------------------------------------------------
@@ -585,6 +587,8 @@ def q_pipeline_trace_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_adapter_spark.datagen.traces import synthesize_traces_nested
     from otel_arrow_adapter_spark.operators.span_records import encode_traces
 
+    from otel_arrow_adapter_spark.caching import owned_result
+
     nested = synthesize_traces_nested(spark, n_spans=300).persist()
     records = encode_traces(nested)
     parts = [
@@ -594,7 +598,7 @@ def q_pipeline_trace_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return owned_result(out, nested)
 
 
 # ---------------------------------------------------------------------------
@@ -970,8 +974,12 @@ def q_emb_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    from otel_arrow_adapter_spark.caching import owned_result
+
     cents = kmeans_train(e, n_centroids=5, iters=2)
-    return ivf_search(e, query_vec_id=0, k=10, n_probe=2, centroids=cents)
+    return owned_result(
+        ivf_search(e, query_vec_id=0, k=10, n_probe=2, centroids=cents), cents
+    )
 
 
 def q_emb_ann_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,13 +1026,16 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    from otel_arrow_adapter_spark.caching import owned_result
+
     cents = kmeans_train(e, n_centroids=5, iters=2)
     census = assign_to_centroids(e, cents).groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
-    return census.join(
+    out = census.join(
         cents.select("centroid_id", F.size("c_vec").alias("dim")), "centroid_id"
     ).select("centroid_id", "n_vecs", "dim")
+    return owned_result(out, cents)
 
 
 def q_pipeline_delta_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import owned_result
 from .text import fingerprint, shingles
 
 DEFAULT_NUM_HASHES = 8
@@ -137,7 +138,8 @@ def lsh_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs
+    # candidate pairs are the keeper; the banded long table is scaffolding
+    return owned_result(pairs, stacked)
 
 
 def jaccard_pairs(
@@ -158,7 +160,12 @@ def jaccard_pairs(
     below the groupBy aggregate on its own, and without the semi-join hot
     shingles explode quadratically at scale. The exact candidate-PAIR
     filter still applies after the aggregate (two candidate docs are not
-    necessarily a candidate pair)."""
+    necessarily a candidate pair).
+
+    Cache ownership: the shingle and candidate caches (whether created here
+    or passed in) are released once the verified pairs materialize — the
+    caller keeps exactly one cache, the returned pairs."""
+    orig_sh = shingles  # caller's cache, if any — freed with the rest
     sh = doc_shingles(docs, k) if shingles is None else shingles
     if candidates is not None:
         candidates = candidates.persist()  # used 2x: doc-id set + pair filter
@@ -191,7 +198,12 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
+    freed = [sh]
+    if candidates is not None:
+        freed.append(candidates)
+    if orig_sh is not None and orig_sh is not sh:
+        freed.append(orig_sh)
+    return owned_result(out, *freed)
 
 
 # ---------------------------------------------------------------------------
@@ -293,8 +305,9 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return owned_result(out, sig)

@@ -164,16 +164,19 @@ def kmeans_train(
     Per iteration: broadcast k centroids, argmax-assign (one shuffle on
     vec_id), recompute means by (centroid, dim) — posexplode to dim grain
     so the mean is a plain map-side-combined agg, never a whole-vector
-    reduce on one task. The loop body is ACTION-FREE: each iteration's
-    centroids are persisted lazily and materialize when the next
-    iteration's broadcast (or the caller) first uses them — the intended
-    one-job-per-iteration cadence with no driver-side collect in the loop
-    (dimension/shape invariants live in tests, not here)."""
+    reduce on one task. Each iteration's centroids are persisted and
+    eagerly materialized (count() of k rows — the same one job the next
+    iteration's broadcast would trigger anyway), which lets the PREVIOUS
+    iteration's cache be released immediately: resident footprint is
+    2 x k x dim instead of iters x k x dim, with no driver-side collect of
+    vector data. The caller owns the returned (persisted) centroids and
+    should unpersist when done."""
     cents = seed_centroids(embeddings, n_centroids, vec_col)
     # normalize so dot-product ranking == cosine ranking
     cents = cents.select(
         "centroid_id", F.transform("c_vec", lambda x: x / norm(F.col("c_vec"))).alias("c_vec")
     )
+    prev: DataFrame | None = None
     for _ in range(iters):
         assigned = assign_to_centroids(embeddings, cents, vec_col).select(
             "vec_id", "centroid_id"
@@ -197,6 +200,10 @@ def kmeans_train(
             F.transform("c_vec", lambda x: x / norm(F.col("c_vec"))).alias("c_vec"),
         )
         cents = new_cents.persist()
+        cents.count()  # materialize THIS iteration before dropping the last
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     return cents
 
 

@@ -425,3 +425,29 @@ def test_bpe_token_count_classes(spark):
     rows = dict(df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect())
     # don / ' / t / !  |  abc / 123 / x / - / 9
     assert rows == {1: 4, 2: 5, 3: 0, 4: 0}
+
+
+def test_no_lingering_caches_after_queries(spark):
+    """Cache-lifecycle contract (caching.owned_result): every query whose
+    plan persists intermediates frees them once its result materializes —
+    after the consuming action + result.unpersist(), the session holds no
+    NEW persistent RDDs (pre-existing fixture caches are excluded)."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    sc = spark.sparkContext
+    for name in [
+        "doc_lsh_candidates",
+        "doc_jaccard_pairs",
+        "doc_simhash_near_dups",
+        "emb_kmeans_centroids",
+        "emb_ivf_search_trained",
+        "pipeline_metrics_dp_records",
+        "pipeline_trace_records",
+    ]:
+        before = set(sc._jsc.getPersistentRDDs().keys())
+        res = entry.QUERIES[name](spark, sf_dir)
+        res.collect()  # the consuming action
+        res.unpersist()
+        after = set(sc._jsc.getPersistentRDDs().keys())
+        assert after - before == set(), (name, after - before)
