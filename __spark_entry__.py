@@ -36,10 +36,34 @@ from otel_arrow_adapter_spark.operators.encode import (  # noqa: E402
     delta_encode_parent_ids,
     with_encode_order,
 )
+from otel_arrow_adapter_spark.operators.metrics_dp import exp2_lower_bound  # noqa: E402
 from otel_arrow_adapter_spark.operators.normalize import (  # noqa: E402
     assign_surrogate_ids,
     stable_turn_order,
 )
+
+
+def _exp_hist_bucket_sql(max_buckets: int, scale: int) -> tuple[str, str]:
+    """DuckDB bucket-sum expressions for the exp-histogram oracles: the
+    SAME exact integer boundaries (nested-isqrt exp2_lower_bound) the Spark
+    rollup compares against, rendered as SQL literals — both engines only
+    ever compare integers, at any scale."""
+    bounds = [exp2_lower_bound(i, scale) for i in range(max_buckets)]
+    pos = ",\n".join(
+        [
+            f"    sum(CASE WHEN v >= {bounds[i]} AND v < {bounds[i + 1]} THEN 1 ELSE 0 END)::BIGINT"
+            for i in range(max_buckets - 1)
+        ]
+        + [f"    sum(CASE WHEN v >= {bounds[-1]} THEN 1 ELSE 0 END)::BIGINT"]
+    )
+    neg = ",\n".join(
+        [
+            f"    sum(CASE WHEN v <= {-bounds[i]} AND v > {-bounds[i + 1]} THEN 1 ELSE 0 END)::BIGINT"
+            for i in range(max_buckets - 1)
+        ]
+        + [f"    sum(CASE WHEN v <= {-bounds[-1]} THEN 1 ELSE 0 END)::BIGINT"]
+    )
+    return pos, neg
 
 N_CATALOG_TOOLS = 6  # tool-6 exists in data but not in catalog -> quarantine
 
@@ -446,6 +470,73 @@ def q_pipeline_metrics_exp_hist_dp(spark: SparkSession, sf_dir: str) -> DataFram
     )
     eh = exp_histogram_rollup(pts, max_buckets=18, value_col="value_delta")
     return eh.select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        F.array_join("positive_bucket_counts", ",").alias("positive_bucket_counts"),
+        F.array_join("negative_bucket_counts", ",").alias("negative_bucket_counts"),
+        "min",
+        "max",
+    )
+
+
+def q_pipeline_metrics_exp_hist_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpHistogramDP rollup at NONZERO base-2 scale (scale=1: bucket base
+    sqrt(2), twice the resolution of scale 0 — the int32 scale field the
+    reference transports per point, ehistogram_dp.go:57,81). Boundaries are
+    exact integers from nested isqrt (metrics_dp.exp2_lower_bound), so both
+    engines bucket by integer comparison only; 36 buckets cover the same
+    value range as the scale-0/18 family."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+
+    pts = _metric_points(spark, sf_dir).withColumn(
+        "value_delta", F.col("metric_value") - F.lit(1000)
+    )
+    eh = exp_histogram_rollup(pts, max_buckets=36, value_col="value_delta", scale=1)
+    return eh.select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        F.array_join("positive_bucket_counts", ",").alias("positive_bucket_counts"),
+        F.array_join("negative_bucket_counts", ",").alias("negative_bucket_counts"),
+        "min",
+        "max",
+    )
+
+
+def q_pipeline_metrics_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downscale-and-merge across heterogeneous scales (OTLP exp-histogram
+    merge semantics over the reference's per-point int32 scale field):
+    even turns roll up at scale 1 (36 buckets), odd turns at scale 0 (18),
+    then merge_exp_histograms downscales the fine family onto the coarse
+    one and sums element-wise. The oracle is the DIRECT scale-0 rollup over
+    ALL points — equality holds iff downscaling is lossless (coarse
+    boundaries are a subset of fine ones), so the whole merge path is
+    value-checked, not just row-counted."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp_histogram_rollup,
+        merge_exp_histograms,
+    )
+
+    pts = _metric_points(spark, sf_dir).withColumn(
+        "value_delta", F.col("metric_value") - F.lit(1000)
+    )
+    fine = exp_histogram_rollup(
+        pts.where(F.col("turn_idx") % 2 == 0), max_buckets=36,
+        value_col="value_delta", scale=1,
+    )
+    coarse = exp_histogram_rollup(
+        pts.where(F.col("turn_idx") % 2 == 1), max_buckets=18,
+        value_col="value_delta", scale=0,
+    )
+    merged = merge_exp_histograms(fine.unionByName(coarse))
+    return merged.select(
         "metric_name",
         "metric_unit",
         "count",
@@ -1132,6 +1223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_search": q_emb_ivf_search,
     # -- red in r1-r3 (oracle cast fixed this round), keep gated --
     "pipeline_severity_rollup": q_pipeline_severity_rollup,
+    # -- new in r4: exp-histogram nonzero scale + heterogeneous merge --
+    "pipeline_metrics_exp_hist_scale": q_pipeline_metrics_exp_hist_scale,
+    "pipeline_metrics_exp_hist_merge": q_pipeline_metrics_exp_hist_merge,
     # -- the rest --
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "pipeline_enrich_services": q_pipeline_enrich_services,
@@ -1538,6 +1632,50 @@ SELECT metric_name, metric_unit,
         ]
         + ["    sum(CASE WHEN v <= -131072 THEN 1 ELSE 0 END)::BIGINT"]
     ) + """), ',') AS negative_bucket_counts,
+  CAST(min(v) AS BIGINT) AS "min",
+  CAST(max(v) AS BIGINT) AS "max"
+FROM pts GROUP BY 1, 2
+""",
+    # scale-1 rollup: same shape, sqrt(2)-base buckets via exact integer
+    # boundaries shared with the Spark side (exp2_lower_bound)
+    "pipeline_metrics_exp_hist_scale": _CTE + """
+, pts AS (
+  SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) - 1000 AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+)
+SELECT metric_name, metric_unit,
+  count(v) AS "count",
+  CAST(sum(v) AS BIGINT) AS "sum",
+  CAST(1 AS INTEGER) AS scale,
+  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+  array_to_string(list_value(
+""" + _exp_hist_bucket_sql(36, 1)[0] + """), ',') AS positive_bucket_counts,
+  array_to_string(list_value(
+""" + _exp_hist_bucket_sql(36, 1)[1] + """), ',') AS negative_bucket_counts,
+  CAST(min(v) AS BIGINT) AS "min",
+  CAST(max(v) AS BIGINT) AS "max"
+FROM pts GROUP BY 1, 2
+""",
+    # heterogeneous-scale merge: the oracle is the DIRECT scale-0 rollup
+    # over ALL points — equal iff the Spark downscale+merge is lossless
+    "pipeline_metrics_exp_hist_merge": _CTE + """
+, pts AS (
+  SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) - 1000 AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+)
+SELECT metric_name, metric_unit,
+  count(v) AS "count",
+  CAST(sum(v) AS BIGINT) AS "sum",
+  CAST(0 AS INTEGER) AS scale,
+  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+  array_to_string(list_value(
+""" + _exp_hist_bucket_sql(18, 0)[0] + """), ',') AS positive_bucket_counts,
+  array_to_string(list_value(
+""" + _exp_hist_bucket_sql(18, 0)[1] + """), ',') AS negative_bucket_counts,
   CAST(min(v) AS BIGINT) AS "min",
   CAST(max(v) AS BIGINT) AS "max"
 FROM pts GROUP BY 1, 2

@@ -39,6 +39,7 @@ N_CONVS = int(os.environ.get("OAAS_BENCH_CONVS", "400000"))
 MEAN_TURNS = int(os.environ.get("OAAS_BENCH_TURNS", "25"))
 REPEATS = int(os.environ.get("OAAS_BENCH_REPEATS", "4"))
 SCALE_N = int(os.environ.get("OAAS_BENCH_SCALE_N", "2"))
+QUERY_REPEATS = int(os.environ.get("OAAS_BENCH_QUERY_REPEATS", "2"))
 
 _CHILD = r"""
 import sys, time, shutil, os, json
@@ -250,16 +251,23 @@ def main() -> None:
 
     # Per-query timing: one warm-up execution (JVM codegen + Python-worker
     # spin-up dominate first runs: measured 18.4s -> 1.5s on the pandas-UDF
-    # simhash), then the timed run with caches cleared in between so the
-    # number is steady-state COMPUTE, not a cache hit.
+    # simhash), then MIN of repeated timed runs with caches cleared in
+    # between so the number is steady-state COMPUTE, not a cache hit.
+    # min-of-2 (not 1): r3 showed single-run per-query timings swing 2.5x
+    # on this shared host with UNCHANGED code — one steal spike per query
+    # is absorbed, a real regression still shows in both runs.
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         fn(spark, SF_DIR).count()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(QUERY_REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+            spark.catalog.clearCache()
+        qtimes[name] = round(best, 3)
     recall = ann_recall_measurement(spark, SF_DIR)
     mv = multivariate_compression(spark, WORK)
     spark.stop()
@@ -312,7 +320,7 @@ def main() -> None:
         "value": round(t_full, 3),
         "unit": "sec",
         "queries": qtimes,
-        "query_timing": "steady_state_after_warmup_caches_cleared",
+        "query_timing": f"min_of_{QUERY_REPEATS}_steady_state_after_warmup_caches_cleared",
         "sf": SF_DIR,
         "turns": n_turns,
         "cores_full": CPUS,

@@ -146,7 +146,7 @@ def _index_type(cardinality: int, max_card: int) -> str | None:
 
 
 def dict_encode_column(
-    df: DataFrame, col: str, max_card: int = 1 << 16
+    df: DataFrame, col: str, max_card: int = 1 << 16, stats=None
 ) -> tuple[DataFrame, DataFrame | None, str | None]:
     """Dictionary-encode ``col``: returns (encoded_df, dict_df, index_type).
 
@@ -156,6 +156,11 @@ def dict_encode_column(
     compression and reproducible tests). Overflow (cardinality > max_card)
     returns the input unchanged with dict_df=None — the plain-value
     fallback of dictionary.go:189-216.
+
+    ``stats`` (plans.stats.ProducerStats) observes the encoder: overflow
+    fallbacks count ``dictionary_overflow_detected`` and a column whose
+    chosen index type widens across batches counts
+    ``dictionary_index_type_changed`` (stats.go:40-42).
     """
     from .normalize import ranked_dim
 
@@ -163,7 +168,11 @@ def dict_encode_column(
     card = distinct.count()
     itype = _index_type(card, max_card)
     if itype is None:
+        if stats is not None:
+            stats.inc("dictionary_overflow_detected")
         return df, None, None
+    if stats is not None:
+        stats.note_index_type(col, itype)
     # windowless rank (collect+sort_array+posexplode over the distinct set,
     # dictionary-small by definition) — no single-partition window
     dict_df = ranked_dim(distinct, (col,), f"{col}_code", id_type=itype, start=0)

@@ -390,39 +390,65 @@ def histogram_rollup(
     )
 
 
+def exp2_lower_bound(i: int, scale: int) -> int:
+    """Smallest integer >= 2^(i / 2^scale), computed EXACTLY.
+
+    Nested integer square roots: floor(sqrt(floor(sqrt(x)))) ==
+    floor(x^(1/4)) (and so on), so ``scale`` isqrt passes over 2^i give
+    floor(2^(i/2^scale)) with no floating point anywhere; the boundary is
+    an integer iff 2^scale divides i (2^fraction is irrational). Shared by
+    the Spark rollup AND the generated DuckDB oracle SQL — both engines
+    only ever compare integers, so nonzero scales stay engine-portable
+    (libm log2 would disagree in the last ulp at exact powers)."""
+    import math
+
+    r = 1 << i
+    for _ in range(scale):
+        r = math.isqrt(r)
+    return r if i % (1 << scale) == 0 else r + 1
+
+
 def exp_histogram_rollup(
     points: DataFrame,
     max_buckets: int = 18,
     value_col: str = "metric_value",
     keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+    scale: int = 0,
 ) -> DataFrame:
-    """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape) with the
-    reference's NEGATIVE bucket family (``ExpHistogramNegative``,
-    ehistogram_dp.go:60,84,254): base-2 exponential buckets at scale 0.
+    """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape; int32 ``scale``
+    field at ehistogram_dp.go:57,81) with the reference's NEGATIVE bucket
+    family (``ExpHistogramNegative``, ehistogram_dp.go:60,84,254): base-2
+    exponential buckets at any scale >= 0 (base = 2^(2^-scale); scale 0 =
+    power-of-two buckets, scale 1 = sqrt(2)-steps, ...).
 
-    Bucket index i counts |v| in [2^i, 2^(i+1)) — lower-inclusive, mirrored
-    for negatives — computed with EXPLICIT integer boundary comparisons:
-    engine-portable (no libm log2, no string/base conversion — F.conv
-    stringifies doubles with fractions or scientific notation and silently
-    mis-buckets them, and to_base rendering varies across DuckDB versions).
-    The value is floored to a long first, making the integral-domain
-    contract explicit for non-integer inputs. zero_count counts v == 0 ONLY
-    (OTLP semantics; negatives go to the mirrored buckets, never "zero").
-    sum/min/max are BIGINT end-to-end so the oracle hashes identically on
-    any engine version. One map-side-combined groupBy, no window."""
+    Bucket index i counts |v| in [2^(i/2^scale), 2^((i+1)/2^scale)) —
+    lower-inclusive, mirrored for negatives — computed with EXPLICIT
+    integer boundary comparisons (``exp2_lower_bound``): engine-portable
+    (no libm log2, no string/base conversion — F.conv stringifies doubles
+    with fractions or scientific notation and silently mis-buckets them,
+    and to_base rendering varies across DuckDB versions). The value is
+    floored to a long first, making the integral-domain contract explicit
+    for non-integer inputs. zero_count counts v == 0 ONLY (OTLP semantics;
+    negatives go to the mirrored buckets, never "zero"). sum/min/max are
+    BIGINT end-to-end so the oracle hashes identically on any engine
+    version. One map-side-combined groupBy, no window.
+
+    To cover the same value range as (max_buckets=B, scale=0), pass
+    max_buckets=B*2^scale at the finer scale — then ``merge_exp_histograms``
+    can downscale it losslessly onto the coarser family."""
     v = F.floor(F.col(value_col)).cast("long")
     pos, neg = [], []
     for i in range(max_buckets - 1):
-        lo, hi = 1 << i, 1 << (i + 1)
+        lo, hi = exp2_lower_bound(i, scale), exp2_lower_bound(i + 1, scale)
         pos.append(F.sum(F.when((v >= lo) & (v < hi), 1).otherwise(0)).cast("long"))
         neg.append(F.sum(F.when((v <= -lo) & (v > -hi), 1).otherwise(0)).cast("long"))
-    top = 1 << (max_buckets - 1)
+    top = exp2_lower_bound(max_buckets - 1, scale)
     pos.append(F.sum(F.when(v >= top, 1).otherwise(0)).cast("long"))
     neg.append(F.sum(F.when(v <= -top, 1).otherwise(0)).cast("long"))
     return points.groupBy(*keys).agg(
         F.count(v).cast("long").alias("count"),
         F.sum(v).cast("long").alias("sum"),
-        F.lit(0).cast("int").alias("scale"),
+        F.lit(scale).cast("int").alias("scale"),
         F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("zero_count"),
         F.lit(0).cast("int").alias("positive_offset"),
         F.array(*pos).alias("positive_bucket_counts"),
@@ -430,6 +456,91 @@ def exp_histogram_rollup(
         F.array(*neg).alias("negative_bucket_counts"),
         F.min(v).cast("long").alias("min"),
         F.max(v).cast("long").alias("max"),
+    )
+
+
+def downscale_exp_buckets(counts: Column, factor: Column) -> Column:
+    """Collapse an offset-0 exponential bucket array from scale s to scale
+    s' = s - log2(factor): each run of ``factor`` adjacent fine buckets
+    sums into one coarse bucket (exact — the coarse boundaries are a
+    subset of the fine ones). Pure column expressions; a ragged tail
+    (including the fine overflow bucket) folds into the last coarse bucket,
+    preserving its ">= top boundary" overflow meaning."""
+    n_out = F.ceil(F.size(counts) / factor).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_out - 1),
+        lambda j: F.aggregate(
+            F.slice(counts, j * factor + 1, factor),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def merge_exp_histograms(
+    rollups: DataFrame,
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+) -> DataFrame:
+    """Merge ExpHistogramDP rows with HETEROGENEOUS scales — the aggregate
+    a collector fan-in needs when sources report at different resolutions
+    (the reference transports per-point int32 scale, ehistogram_dp.go:57;
+    OTLP merge semantics: downscale the finer histogram until bases match,
+    then add buckets).
+
+    Per group: target scale = min(scale); every row's bucket arrays are
+    downscaled by 2^(scale - target) (exact — coarse boundaries are a
+    subset of fine ones), then summed ELEMENT-WISE via posexplode to
+    (key, idx) grain + one map-side-combined groupBy — never a whole-array
+    reduce on the driver. Rows are assumed to cover the same value range
+    (max_buckets proportional to 2^scale, as exp_histogram_rollup
+    documents); scalar fields merge as sum/min/max. The min-scale
+    dimension join is broadcast (one row per key group)."""
+    gmin = rollups.groupBy(*keys).agg(F.min("scale").alias("_target_scale"))
+    factor = F.expr("shiftleft(1, scale - _target_scale)")
+    j = (
+        rollups.join(F.broadcast(gmin), list(keys))
+        .withColumn("_pos", downscale_exp_buckets(F.col("positive_bucket_counts"), factor))
+        .withColumn("_neg", downscale_exp_buckets(F.col("negative_bucket_counts"), factor))
+    )
+    scalars = j.groupBy(*keys).agg(
+        F.sum("count").cast("long").alias("count"),
+        F.sum("sum").cast("long").alias("sum"),
+        F.min("scale").cast("int").alias("scale"),
+        F.sum("zero_count").cast("long").alias("zero_count"),
+        F.lit(0).cast("int").alias("positive_offset"),
+        F.lit(0).cast("int").alias("negative_offset"),
+        F.min("min").cast("long").alias("min"),
+        F.max("max").cast("long").alias("max"),
+    )
+    def _ewise(col: str, out: str) -> DataFrame:
+        return (
+            j.select(*keys, F.posexplode(col).alias("_idx", "_c"))
+            .groupBy(*keys, "_idx")
+            .agg(F.sum("_c").alias("_c"))
+            .groupBy(*keys)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_c"))),
+                    lambda s: s["_c"],
+                ).alias(out)
+            )
+        )
+    out = (
+        scalars.join(_ewise("_pos", "positive_bucket_counts"), list(keys))
+        .join(_ewise("_neg", "negative_bucket_counts"), list(keys))
+    )
+    return out.select(
+        *keys,
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        "positive_bucket_counts",
+        "negative_offset",
+        "negative_bucket_counts",
+        "min",
+        "max",
     )
 
 

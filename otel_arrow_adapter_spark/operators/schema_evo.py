@@ -34,15 +34,26 @@ def canonical_schema_id(df: DataFrame) -> str:
     return hashlib.sha256("|".join(fields).encode()).hexdigest()[:16]
 
 
-def write_versioned(df: DataFrame, out_dir: str, subdir: str = "versioned") -> str:
+def write_versioned(df: DataFrame, out_dir: str, subdir: str = "versioned", stats=None) -> str:
     """Append a batch under its schema's own stream directory and return
     the schema id. A batch with a NEW schema lands in a new directory
-    (stream opened); prior directories are retired untouched."""
+    (stream opened); prior directories are retired untouched.
+
+    ``stats`` (plans.stats.ProducerStats) counts each NEW stream directory
+    as ``schema_updates_performed`` + ``stream_producers_created`` (the
+    producer closes the old IPC stream and opens a new one on schema
+    change, producer.go:337-366; counters at stats.go:30-40)."""
+    import os
+
     sid = canonical_schema_id(df)
+    dest = f"{out_dir}/{subdir}/schema_id={sid}"
+    if stats is not None and not os.path.isdir(dest):
+        stats.inc("schema_updates_performed")
+        stats.inc("stream_producers_created")
     (
         df.write.mode("append")
         .option("compression", "zstd")
-        .parquet(f"{out_dir}/{subdir}/schema_id={sid}")
+        .parquet(dest)
     )
     return sid
 

@@ -6,3 +6,4 @@ from .pipeline import (  # noqa: F401
     run_pipeline,
 )
 from .ledger import Ledger  # noqa: F401
+from .stats import ProducerStats  # noqa: F401

@@ -236,3 +236,75 @@ def test_temporality_roundtrip_and_resets(spark):
     c1 = d.where(F.col("conv_id") == "c1")
     back = delta_to_cumulative(c1)
     assert {(r.turn_idx, r.value) for r in back.collect()} == {(0, 3), (1, 7), (2, 7), (3, 15)}
+
+
+def test_exp2_lower_bound_exact():
+    """Boundary helper: exact ceil(2^(i/2^s)) with no floating point."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp2_lower_bound
+
+    # scale 0: plain powers of two
+    assert [exp2_lower_bound(i, 0) for i in range(5)] == [1, 2, 4, 8, 16]
+    # scale 1: 1, ceil(sqrt2)=2, 2, ceil(2*sqrt2)=3, 4, ceil(4*sqrt2)=6, 8
+    assert [exp2_lower_bound(i, 1) for i in range(7)] == [1, 2, 2, 3, 4, 6, 8]
+    # scale 2: boundaries 2^(i/4); ceil: 1,2,2,2,2,3,3,4,4
+    assert [exp2_lower_bound(i, 2) for i in range(9)] == [1, 2, 2, 2, 2, 3, 3, 4, 4]
+    # exactness far beyond double precision: i=240, scale=1 -> 2^120
+    assert exp2_lower_bound(240, 1) == 1 << 120
+
+
+def test_exp_histogram_rollup_scale1_known_answer(spark):
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+
+    vals = [1, 2, 3, 4, 5, 6, -3]
+    df = spark.createDataFrame(
+        [("m", "ms", v) for v in vals],
+        "metric_name string, metric_unit string, metric_value long",
+    )
+    row = exp_histogram_rollup(df, max_buckets=8, scale=1).collect()[0]
+    # scale-1 lower bounds (integer ceil): [1,2,2,3,4,6,8] ->
+    # 1->idx0; [sqrt2,2) has no integers -> idx1 = 0; 2->idx2; 3->idx3;
+    # 4,5->idx4 [4,6); 6->idx5 [6,8); -3 mirrors to neg idx3
+    assert row["scale"] == 1
+    assert row["positive_bucket_counts"] == [1, 0, 1, 1, 2, 1, 0, 0]
+    assert row["negative_bucket_counts"][3] == 1
+    assert sum(row["negative_bucket_counts"]) == 1
+
+
+def test_merge_exp_histograms_two_scales_equals_direct_rollup(spark):
+    """The downscale-and-merge invariant: rollup half the points at scale 1
+    (double the buckets), half at scale 0, merge -> EXACTLY the direct
+    scale-0 rollup over all points (coarse boundaries are a subset of fine
+    ones, so downscaling is lossless)."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp_histogram_rollup,
+        merge_exp_histograms,
+    )
+
+    vals = [0, 1, 2, 3, 5, 9, 17, 100, 1000, -1, -7, -300, 4096, 1 << 17]
+    df = spark.createDataFrame(
+        [("m", "ms", i, v) for i, v in enumerate(vals)],
+        "metric_name string, metric_unit string, i int, metric_value long",
+    )
+    fine = exp_histogram_rollup(df.where("i % 2 = 0"), max_buckets=36, scale=1)
+    coarse = exp_histogram_rollup(df.where("i % 2 = 1"), max_buckets=18, scale=0)
+    merged = merge_exp_histograms(fine.unionByName(coarse)).collect()[0]
+    direct = exp_histogram_rollup(df, max_buckets=18, scale=0).collect()[0]
+    for f in [
+        "count", "sum", "scale", "zero_count",
+        "positive_bucket_counts", "negative_bucket_counts", "min", "max",
+    ]:
+        assert merged[f] == direct[f], (f, merged[f], direct[f])
+
+
+def test_downscale_exp_buckets_column(spark):
+    import pyspark.sql.functions as F
+
+    from otel_arrow_adapter_spark.operators.metrics_dp import downscale_exp_buckets
+
+    df = spark.createDataFrame([([1, 2, 3, 4, 5],)], "c array<bigint>")
+    out = df.select(
+        downscale_exp_buckets(F.col("c"), F.lit(2)).alias("d2"),
+        downscale_exp_buckets(F.col("c"), F.lit(1)).alias("d1"),
+    ).collect()[0]
+    assert out["d2"] == [3, 7, 5]  # ragged tail folds into the last bucket
+    assert out["d1"] == [1, 2, 3, 4, 5]  # factor 1 = identity

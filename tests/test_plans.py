@@ -176,3 +176,52 @@ def test_bucketed_table_skips_exchange(spark, transcripts, tmp_path):
         assert t.count() == transcripts.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_producer_stats_counters(spark, tmp_path):
+    """stats.go:26-61 analog: dictionary overflow fallbacks, index-type
+    widenings, and schema-change stream openings are observable counters
+    that land in the ledger."""
+    import json
+
+    from otel_arrow_adapter_spark.operators.encode import dict_encode_column
+    from otel_arrow_adapter_spark.operators.schema_evo import write_versioned
+    from otel_arrow_adapter_spark.plans import Ledger, ProducerStats
+
+    stats = ProducerStats()
+
+    # dictionary: tiny max_card forces the plain-value overflow fallback
+    df = spark.createDataFrame([(f"v{i}",) for i in range(10)], "s string")
+    enc, dict_df, itype = dict_encode_column(df, "s", max_card=4, stats=stats)
+    assert dict_df is None and stats.get("dictionary_overflow_detected") == 1
+
+    # index-type widening across batches: 10 values -> tinyint-range code,
+    # then 300 values -> wider code for the SAME column
+    small = spark.createDataFrame([(f"v{i}",) for i in range(10)], "s string")
+    big = spark.createDataFrame([(f"v{i}",) for i in range(300)], "s string")
+    _, _, t1 = dict_encode_column(small, "s", stats=stats)
+    _, _, t2 = dict_encode_column(big, "s", stats=stats)
+    assert t1 != t2
+    assert stats.get("dictionary_index_type_changed") == 1
+
+    # schema change: v1 twice opens ONE stream; v2 opens a second
+    out = str(tmp_path / "vers")
+    v1 = spark.createDataFrame([(1, "a")], "id int, a string")
+    v2 = spark.createDataFrame([(2, "a", True)], "id int, a string, b boolean")
+    write_versioned(v1, out, stats=stats)
+    write_versioned(v1, out, stats=stats)  # same schema -> no new stream
+    write_versioned(v2, out, stats=stats)
+    assert stats.get("schema_updates_performed") == 2
+    assert stats.get("stream_producers_created") == 2
+
+    # the ledger is the observable surface
+    ledger = Ledger(str(tmp_path / "ledger"), "stats-run")
+    stats.flush_to_ledger(ledger)
+    rows = [json.loads(line) for line in open(f"{tmp_path}/ledger/ledger.jsonl")]
+    row = next(r for r in rows if r["partition_key"] == "producer_stats")
+    assert row["metrics"]["dictionary_overflow_detected"] == 1
+    assert row["metrics"]["schema_updates_performed"] == 2
+
+    # get_and_reset mirrors stats.go GetAndReset
+    snap = stats.get_and_reset()
+    assert snap["stream_producers_created"] == 2 and stats.as_dict() == {}
