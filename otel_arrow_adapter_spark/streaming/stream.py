@@ -43,6 +43,49 @@ def read_transcript_stream(spark: SparkSession, input_path: str, max_files: int 
     )
 
 
+def read_paced_replay(
+    spark: SparkSession,
+    input_path: str,
+    speed: float = 1.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Timestamp-paced capture replay — the file receiver's replay timer
+    (/root/reference/collector/receiver/filereceiver/replay_timer.go):
+    rows re-emit at their ORIGINAL inter-arrival spacing (divided by
+    ``speed``), not as fast as files can be listed.
+
+    Spark-first shape: no sleeps, no state. Every capture row gets a
+    release tick = floor(original offset sec / speed); the rate source
+    emits exactly one ``value`` per wall-second, and a stream-static
+    EQUI-join on value == tick releases each tick's rows in the wall-second
+    micro-batch bearing its number. Exactly-once comes free (each tick
+    value occurs once in the rate stream); the join is a broadcast of the
+    1-row/sec stream side against the static capture scan. At scale, write
+    the capture partitioned by a tick bucket so each micro-batch's scan
+    prunes to its slice instead of rescanning the capture.
+
+    The emitted columns are the capture's own; ``replay_tick`` carries the
+    wall-second the row was released on (observable pacing, tested)."""
+    static = spark.read.parquet(input_path)
+    base = static.agg(F.min(F.col(ts_col).cast("timestamp"))).first()[0]
+    ticked = static.withColumn(
+        "replay_tick",
+        F.floor(
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.lit(int(base.timestamp() * 1_000_000))
+            )
+            / (1_000_000.0 * speed)
+        ).cast("long"),
+    )
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    return (
+        rate.withColumnRenamed("value", "replay_tick")
+        .drop("timestamp")
+        .join(ticked, "replay_tick")
+    )
+
+
 def build_stream(stream: DataFrame, catalog: DataFrame | None = None) -> DataFrame:
     """parse -> hash surrogate ids -> enrich -> label: all projections +
     one broadcast join — fully streaming-compatible."""

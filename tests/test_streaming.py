@@ -98,3 +98,54 @@ def test_stream_dictionary_deltas(spark, transcripts, tmp_path):
     codes = [r.code for r in rows]
     assert len(set(codes)) == len(codes)  # codes unique across buckets
     assert all((r.code >> 32) == r.bucket for r in rows)
+
+
+def test_stream_paced_replay(spark, tmp_path):
+    """replay_timer.go analog: rows re-emit in original-timestamp order at
+    ~1 tick/wall-second (speed-scaled), never all at once. With offsets
+    {0,0,2,4}s and speed=2 the release ticks are {0,0,1,2}: the stream
+    cannot finish faster than the highest tick's wall-second."""
+    import datetime
+    import time
+
+    from otel_arrow_adapter_spark.streaming.stream import read_paced_replay
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("c0", 0, base),
+        ("c0", 1, base),
+        ("c1", 0, base + datetime.timedelta(seconds=2)),
+        ("c1", 1, base + datetime.timedelta(seconds=4)),
+    ]
+    src = str(tmp_path / "capture")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp"
+    ).write.parquet(src)
+
+    released = []  # (wall_time, replay_tick, conv_id, turn_idx)
+
+    def sink(batch_df, batch_id):
+        now = time.monotonic()
+        for r in batch_df.collect():
+            released.append((now, r["replay_tick"], r["conv_id"], r["turn_idx"]))
+
+    t0 = time.monotonic()
+    q = read_paced_replay(spark, src, speed=2.0).writeStream.foreachBatch(sink).start()
+    try:
+        deadline = time.monotonic() + 60
+        while len(released) < 4 and time.monotonic() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    elapsed = time.monotonic() - t0
+
+    assert len(released) == 4, released
+    # release ticks are the speed-scaled original offsets
+    assert sorted((r[2], r[3], r[1]) for r in released) == [
+        ("c0", 0, 0), ("c0", 1, 0), ("c1", 0, 1), ("c1", 1, 2),
+    ]
+    # pacing: ticks arrive in order, and tick 2 cannot arrive before the
+    # rate source has emitted 3 wall-seconds of values
+    by_tick = sorted(released, key=lambda r: r[0])
+    assert [r[1] for r in by_tick] == sorted(r[1] for r in released)
+    assert elapsed >= 2.0, elapsed
