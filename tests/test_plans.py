@@ -225,3 +225,22 @@ def test_producer_stats_counters(spark, tmp_path):
     # get_and_reset mirrors stats.go GetAndReset
     snap = stats.get_and_reset()
     assert snap["stream_producers_created"] == 2 and stats.as_dict() == {}
+
+
+def test_merge_exp_histograms_broadcasts_min_scale(spark):
+    """The per-group min-scale dimension (one row per key group) must
+    broadcast — a shuffled join on the rollup side would add a full
+    exchange for a dimension of trivial size."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp_histogram_rollup,
+        merge_exp_histograms,
+    )
+
+    df = spark.createDataFrame(
+        [("m", "ms", i, v) for i, v in enumerate([1, 2, 3, 100, -5])],
+        "metric_name string, metric_unit string, i int, metric_value long",
+    )
+    fine = exp_histogram_rollup(df.where("i % 2 = 0"), max_buckets=36, scale=1)
+    coarse = exp_histogram_rollup(df.where("i % 2 = 1"), max_buckets=18, scale=0)
+    plan = _plan(merge_exp_histograms(fine.unionByName(coarse)))
+    assert "BroadcastHashJoin" in plan
