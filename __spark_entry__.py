@@ -1184,6 +1184,77 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=2).select("media_id", "frame_idx")
 
 
+def q_pipeline_pb_capture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end, oracle-gated: log-classified turns -> OTLP .pb
+    capture files (distributed mapInPandas encoder, one
+    ExportLogsServiceRequest file per partition — the reference's dataset
+    format, real_logs_dataset.go:109-124) -> read_pb_logs wire decode ->
+    severity rollup. The oracle replays the rollup straight from the
+    transcripts, so equality holds iff encode∘decode == id on every frame
+    (wire format included). Workers write to driver-local tmp (local mode);
+    on a cluster the capture dir is shared storage."""
+    import tempfile
+
+    from otel_arrow_adapter_spark.sources.otlp_pb import (
+        encode_export_logs_request,
+        read_pb_logs,
+    )
+
+    logs = (
+        _parsed(spark, sf_dir)
+        .where(F.col("signal_type") == "log")
+        .select(
+            "severity_text",
+            "severity_number",
+            F.col("msg").alias("body"),
+            (F.col("log_ts_us") * 1000).alias("time_unix_nano"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="oaas_pb_capture_")
+
+    def write_pb(batches):
+        import os
+        import uuid
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
+                continue
+            clean = pdf.astype(object).where(pdf.notna(), None)
+            recs = [
+                {
+                    "res_idx": 0,
+                    "severity_text": r["severity_text"],
+                    "severity_number": None
+                    if r["severity_number"] is None
+                    else int(r["severity_number"]),
+                    "body": r["body"],
+                    "time_unix_nano": None
+                    if r["time_unix_nano"] is None
+                    else int(r["time_unix_nano"]),
+                }
+                for _, r in clean.iterrows()
+            ]
+            path = os.path.join(out, f"{uuid.uuid4().hex}.pb")
+            with open(path, "wb") as f:
+                f.write(encode_export_logs_request(recs))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    logs.mapInPandas(write_pb, "n long").agg(F.sum("n")).collect()  # write action
+    decoded = read_pb_logs(spark, out)
+    return decoded.groupBy("severity_text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("body").alias("n_body"),
+        # modular sum: raw nanosecond sums overflow int64 at a few thousand
+        # rows; the mod keeps the checksum integer-exact on both engines
+        F.sum(F.col("time_unix_nano") % F.lit(1_000_003)).cast("long").alias("sum_ts_mod"),
+        F.max("time_unix_nano").cast("long").alias("max_ts"),
+        F.max("severity_number").cast("int").alias("max_sev"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via mapInPandas (decode STUBBED with a
     deterministic payload-hash fake — real PIL/ffmpeg swap-in point). The
@@ -1223,9 +1294,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_search": q_emb_ivf_search,
     # -- red in r1-r3 (oracle cast fixed this round), keep gated --
     "pipeline_severity_rollup": q_pipeline_severity_rollup,
-    # -- new in r4: exp-histogram nonzero scale + heterogeneous merge --
+    # -- new in r4: exp-histogram nonzero scale + heterogeneous merge,
+    #    OTLP .pb capture round-trip --
     "pipeline_metrics_exp_hist_scale": q_pipeline_metrics_exp_hist_scale,
     "pipeline_metrics_exp_hist_merge": q_pipeline_metrics_exp_hist_merge,
+    "pipeline_pb_capture_roundtrip": q_pipeline_pb_capture_roundtrip,
     # -- the rest --
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "pipeline_enrich_services": q_pipeline_enrich_services,
@@ -1679,6 +1752,20 @@ SELECT metric_name, metric_unit,
   CAST(min(v) AS BIGINT) AS "min",
   CAST(max(v) AS BIGINT) AS "max"
 FROM pts GROUP BY 1, 2
+""",
+    # .pb capture round-trip: oracle replays the severity rollup from the
+    # transcripts directly — green iff pb encode∘decode == id per frame
+    "pipeline_pb_capture_roundtrip": _CTE + """
+SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
+  count(*) AS n,
+  count(nullif(regexp_extract(text, ' msg="([^"]*)"', 1), '')) AS n_body,
+  CAST(sum((CAST(nullif(regexp_extract(text, 'ts_us=([0-9]+)', 1), '') AS BIGINT) * 1000) % 1000003) AS BIGINT) AS sum_ts_mod,
+  CAST(max(CAST(nullif(regexp_extract(text, 'ts_us=([0-9]+)', 1), '') AS BIGINT) * 1000) AS BIGINT) AS max_ts,
+  CAST(max(CASE nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '')
+    WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+    WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END) AS INT) AS max_sev
+FROM classified WHERE signal_type = 'log'
+GROUP BY 1
 """,
     "pipeline_metrics_temporality": _CTE + """
 , pts AS (
