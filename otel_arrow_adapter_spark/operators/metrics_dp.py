@@ -393,15 +393,20 @@ def histogram_rollup(
 def exp2_lower_bound(i: int, scale: int) -> int:
     """Smallest integer >= 2^(i / 2^scale), computed EXACTLY.
 
-    Nested integer square roots: floor(sqrt(floor(sqrt(x)))) ==
-    floor(x^(1/4)) (and so on), so ``scale`` isqrt passes over 2^i give
-    floor(2^(i/2^scale)) with no floating point anywhere; the boundary is
-    an integer iff 2^scale divides i (2^fraction is irrational). Shared by
-    the Spark rollup AND the generated DuckDB oracle SQL — both engines
-    only ever compare integers, so nonzero scales stay engine-portable
-    (libm log2 would disagree in the last ulp at exact powers)."""
+    Positive scales: nested integer square roots —
+    floor(sqrt(floor(sqrt(x)))) == floor(x^(1/4)) (and so on), so ``scale``
+    isqrt passes over 2^i give floor(2^(i/2^scale)) with no floating point
+    anywhere; the boundary is an integer iff 2^scale divides i
+    (2^fraction is irrational). Negative scales (OTLP allows down to -10:
+    each bucket spans 2^|scale| octaves) are plain integer powers,
+    2^(i * 2^|scale|). Shared by the Spark rollup AND the generated DuckDB
+    oracle SQL — both engines only ever compare integers, so nonzero
+    scales stay engine-portable (libm log2 would disagree in the last ulp
+    at exact powers)."""
     import math
 
+    if scale < 0:
+        return 1 << (i * (1 << -scale))
     r = 1 << i
     for _ in range(scale):
         r = math.isqrt(r)
@@ -418,8 +423,9 @@ def exp_histogram_rollup(
     """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape; int32 ``scale``
     field at ehistogram_dp.go:57,81) with the reference's NEGATIVE bucket
     family (``ExpHistogramNegative``, ehistogram_dp.go:60,84,254): base-2
-    exponential buckets at any scale >= 0 (base = 2^(2^-scale); scale 0 =
-    power-of-two buckets, scale 1 = sqrt(2)-steps, ...).
+    exponential buckets at any integer scale (base = 2^(2^-scale); scale 0
+    = power-of-two buckets, scale 1 = sqrt(2)-steps, scale -1 = 4x steps —
+    negative scales down to OTLP's -10 are plain integer powers).
 
     Bucket index i counts |v| in [2^(i/2^scale), 2^((i+1)/2^scale)) —
     lower-inclusive, mirrored for negatives — computed with EXPLICIT

@@ -308,3 +308,38 @@ def test_downscale_exp_buckets_column(spark):
     ).collect()[0]
     assert out["d2"] == [3, 7, 5]  # ragged tail folds into the last bucket
     assert out["d1"] == [1, 2, 3, 4, 5]  # factor 1 = identity
+
+
+def test_exp_histogram_negative_scale_and_merge(spark):
+    """OTLP negative scales (each bucket spans 2^|s| octaves): boundaries
+    are exact integer powers, and merging a scale-0 histogram into a
+    scale=-1 group downscales 2 octave-buckets per coarse bucket."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp2_lower_bound,
+        exp_histogram_rollup,
+        merge_exp_histograms,
+    )
+
+    assert [exp2_lower_bound(i, -1) for i in range(4)] == [1, 4, 16, 64]
+    assert [exp2_lower_bound(i, -2) for i in range(3)] == [1, 16, 256]
+
+    vals = [1, 2, 3, 4, 5, 15, 16, 100, 1000, -2, -20]
+    df = spark.createDataFrame(
+        [("m", "ms", i, v) for i, v in enumerate(vals)],
+        "metric_name string, metric_unit string, i int, metric_value long",
+    )
+    row = exp_histogram_rollup(df, max_buckets=9, scale=-1).collect()[0]
+    # [1,4): 1,2,3 -> idx0; [4,16): 4,5,15 -> idx1; [16,64): 16 -> idx2;
+    # [64,256): 100 -> idx3; [256,1024): 1000? 1000 >= 256 and < 1024 -> idx4
+    assert row["scale"] == -1
+    assert row["positive_bucket_counts"][:5] == [3, 3, 1, 1, 1]
+    assert row["negative_bucket_counts"][:3] == [1, 0, 1]  # -2 idx0, -20 idx2 [16,64)
+
+    # heterogeneous merge down to scale -1
+    fine = exp_histogram_rollup(df.where("i % 2 = 0"), max_buckets=18, scale=0)
+    coarse = exp_histogram_rollup(df.where("i % 2 = 1"), max_buckets=9, scale=-1)
+    merged = merge_exp_histograms(fine.unionByName(coarse)).collect()[0]
+    direct = exp_histogram_rollup(df, max_buckets=9, scale=-1).collect()[0]
+    for f in ["count", "sum", "scale", "zero_count",
+              "positive_bucket_counts", "negative_bucket_counts", "min", "max"]:
+        assert merged[f] == direct[f], (f, merged[f], direct[f])
