@@ -1235,7 +1235,7 @@ def q_pipeline_pb_capture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
                     if r["time_unix_nano"] is None
                     else int(r["time_unix_nano"]),
                 }
-                for _, r in clean.iterrows()
+                for r in clean.to_dict("records")
             ]
             path = os.path.join(out, f"{uuid.uuid4().hex}.pb")
             with open(path, "wb") as f:
