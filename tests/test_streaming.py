@@ -149,3 +149,47 @@ def test_stream_paced_replay(spark, tmp_path):
     by_tick = sorted(released, key=lambda r: r[0])
     assert [r[1] for r in by_tick] == sorted(r[1] for r in released)
     assert elapsed >= 2.0, elapsed
+
+
+def test_paced_replay_feeds_full_pipeline(spark, small_catalog, tmp_path):
+    """S6 x S5 integration: the timestamp-paced replay source drives the
+    full parse->enrich->route stream; every capture row lands in a sink
+    with per-turn text intact, released across multiple paced batches."""
+    import datetime
+
+    from otel_arrow_adapter_spark.streaming.stream import read_paced_replay
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c0", 0, "user", 'ts_us=1 level=INFO msg="a" code=7', None, base),
+        ("c0", 1, "tool", "name=latency_ms value=12 unit=ms", "tool-1",
+         base + datetime.timedelta(seconds=1)),
+        ("c1", 0, "tool", "span=0123456789abcdef parent=01234567 dur_ms=5",
+         "tool-2", base + datetime.timedelta(seconds=2)),
+        ("c1", 1, "user", "!!corrupt", None, base + datetime.timedelta(seconds=2)),
+    ]
+    src = str(tmp_path / "paced_src")
+    out = str(tmp_path / "paced_out")
+    ckpt = str(tmp_path / "paced_ckpt")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(src)
+
+    stream = read_paced_replay(spark, src, speed=1.0).drop("replay_tick")
+    labeled = build_stream(stream, small_catalog)
+    q = start_routed_stream(labeled, out, ckpt, trigger_sec=1)
+    import time
+
+    deadline = time.monotonic() + 60
+    n = 0
+    while n < 4 and time.monotonic() < deadline:
+        time.sleep(1)
+        try:
+            n = spark.read.parquet(f"{out}/routed").count()
+        except Exception:
+            n = 0
+    q.stop()
+    routed = spark.read.parquet(f"{out}/routed")
+    assert routed.count() == 4
+    sinks = {r.sink: r["cnt"] for r in routed.groupBy("sink").agg(F.count("*").alias("cnt")).collect()}
+    assert sinks == {"logs": 1, "metrics": 1, "traces": 1, "quarantine": 1}
