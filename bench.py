@@ -54,7 +54,13 @@ cores, in_path, out_dir, repeats, suppress = (
 spark = get_spark(
     app_name=f"oaas-bench-{{cores}}", cores=cores, shuffle_partitions=cores,
     extra_conf={{
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -Xms12g",
+        # GC threads pinned to the core budget: ParallelGC otherwise sizes
+        # its worker pool from the HOST's 32 CPUs, so a local[2] run gets
+        # ~30 free GC cores — inflating the N baseline and corrupting the
+        # N->4N efficiency ratio (an executor on a real cluster gets cgroup
+        # cores, GC included)
+        "spark.driver.extraJavaOptions":
+            f"-XX:+UseParallelGC -Xms12g -XX:ParallelGCThreads={{cores}}",
         "spark.sql.files.maxPartitionBytes": "2m",
         "spark.sql.files.openCostInBytes": "256k",
     }},

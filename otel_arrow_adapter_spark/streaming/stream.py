@@ -67,14 +67,16 @@ def read_paced_replay(
     The emitted columns are the capture's own; ``replay_tick`` carries the
     wall-second the row was released on (observable pacing, tested)."""
     static = spark.read.parquet(input_path)
-    base = static.agg(F.min(F.col(ts_col).cast("timestamp"))).first()[0]
+    # base epoch computed ENGINE-side (unix_micros under the session tz) —
+    # a Python-naive datetime's .timestamp() would re-interpret it in the
+    # host-local zone and shift every tick by the tz offset
+    base_us = static.agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
+    ).first()[0]
     ticked = static.withColumn(
         "replay_tick",
         F.floor(
-            (
-                F.unix_micros(F.col(ts_col).cast("timestamp"))
-                - F.lit(int(base.timestamp() * 1_000_000))
-            )
+            (F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(base_us))
             / (1_000_000.0 * speed)
         ).cast("long"),
     )
