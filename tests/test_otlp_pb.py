@@ -85,3 +85,84 @@ def test_pb_spark_reader(spark, tmp_path):
     infos = [r for r in good if r["severity_text"] == "INFO"]
     assert len(infos) == 2
     assert all(r["time_unix_nano"] == 1_700_000_000_000_000_000 for r in infos)
+
+
+def test_pb_wire_roundtrip_property():
+    """Property form: arbitrary record sets (unicode text, optional fields
+    absent at random, extreme timestamps) survive encode∘decode exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_logs_request,
+        encode_export_logs_request,
+    )
+
+    text = st.one_of(st.none(), st.text(max_size=40))
+    record = st.fixed_dictionaries(
+        {
+            "res_idx": st.integers(min_value=0, max_value=3),
+            "scope_name": text,
+            "severity_text": text,
+            "severity_number": st.one_of(st.none(), st.integers(0, 24)),
+            "body": text,
+            "time_unix_nano": st.one_of(
+                st.none(), st.integers(0, 2**63 - 1)
+            ),
+            "attrs": st.dictionaries(st.text(min_size=1, max_size=8), st.text(max_size=8), max_size=3),
+        }
+    )
+
+    @given(st.lists(record, max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def check(records):
+        out = decode_export_logs_request(encode_export_logs_request(records))
+        assert len(out) == len(records)
+        by_res_in: dict = {}
+        for r in records:
+            by_res_in.setdefault(r["res_idx"], []).append(r)
+        by_res_out: dict = {}
+        for r in out:
+            by_res_out.setdefault(r["res_idx"], []).append(r)
+        # res_idx relabels densely (0..n-1 in input-res order)
+        assert sorted(len(v) for v in by_res_in.values()) == sorted(
+            len(v) for v in by_res_out.values()
+        )
+        for rs_in, rs_out in zip(
+            (by_res_in[k] for k in sorted(by_res_in)),
+            (by_res_out[k] for k in sorted(by_res_out)),
+        ):
+            for a, b in zip(rs_in, rs_out):
+                # severity_text/scope_name are truthiness-elided by the
+                # writer ('' -> absent -> None); body and the numerics
+                # round-trip exactly whenever present (0 and '' included)
+                assert (a["severity_text"] or None) == b["severity_text"], (a, b)
+                assert a["body"] == b["body"], (a, b)
+                assert a["severity_number"] == b["severity_number"], (a, b)
+                assert a["time_unix_nano"] == b["time_unix_nano"], (a, b)
+                assert len(a["attrs"]) == b["n_attrs"]
+
+    check()
+
+
+def test_exp2_lower_bound_property():
+    """lo = exp2_lower_bound(i, s) is EXACTLY ceil(2^(i/2^s)): checked in
+    pure integer arithmetic ((lo-1)^(2^s) < 2^i <= lo^(2^s)) — no floats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp2_lower_bound
+
+    @given(st.integers(0, 200), st.integers(-4, 6))
+    @settings(max_examples=300, deadline=None)
+    def check(i, s):
+        lo = exp2_lower_bound(i, s)
+        if s < 0:
+            assert lo == 1 << (i * (1 << -s))
+            return
+        p = 1 << s
+        assert lo**p >= (1 << i) > (lo - 1) ** p
+        # smallest such integer: lo-1 must fail the >= condition unless lo==1
+        assert lo == 1 or (lo - 1) ** p < (1 << i)
+
+    check()
