@@ -85,6 +85,11 @@ def _iter_fields(buf: bytes, i: int, end: int) -> Iterator[tuple[int, int, objec
             i += 8
         elif wt == 2:  # length-delimited
             ln, i = _read_varint(buf, i)
+            if i + ln > end:
+                raise ValueError(
+                    f"truncated length-delimited field {field}: "
+                    f"need {ln} bytes, have {end - i}"
+                )
             v = (i, i + ln)
             i += ln
         elif wt == 5:  # fixed32
@@ -245,6 +250,144 @@ def encode_export_logs_request(records: list[dict]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# OTLP traces decode/encode (real_trace_dataset.go:118-133 loads the same
+# single-request .pb shape; public trace.proto field numbers:
+#   ExportTraceServiceRequest: resource_spans = 1
+#   ResourceSpans: resource = 1, scope_spans = 2
+#   ScopeSpans:    scope = 1, spans = 2
+#   Span: trace_id=1, span_id=2, parent_span_id=4, name=5, kind=6,
+#         start_time_unix_nano=7 (fixed64), end_time_unix_nano=8 (fixed64),
+#         attributes=9, events=11, links=13, status=15 (code=3)
+# ---------------------------------------------------------------------------
+
+PB_SPAN_SCHEMA = (
+    "path string, res_idx int, scope_name string, trace_id string, "
+    "span_id string, parent_span_id string, name string, kind int, "
+    "start_time_unix_nano long, end_time_unix_nano long, "
+    "status_code int, n_attrs int, n_events int, n_links int"
+)
+
+
+def decode_export_trace_request(data: bytes, path: str = "") -> list[dict]:
+    """ExportTraceServiceRequest bytes -> flat span dicts (the reference's
+    span flattening, real_trace_dataset.go:148-160)."""
+    rows: list[dict] = []
+    for res_idx, (_, _, span_rl) in enumerate(
+        f for f in _iter_fields(data, 0, len(data)) if f[0] == 1
+    ):
+        scopes = [v for f, _, v in _iter_fields(data, span_rl[0], span_rl[1]) if f == 2]
+        for s_lo, s_hi in scopes:
+            scope_name = None
+            for f, _, v in _iter_fields(data, s_lo, s_hi):
+                if f == 1:
+                    for sf, _, sv in _iter_fields(data, v[0], v[1]):
+                        if sf == 1:
+                            scope_name = bytes(data[sv[0]:sv[1]]).decode("utf-8", "replace")
+            for f, _, v in _iter_fields(data, s_lo, s_hi):
+                if f != 2:  # spans
+                    continue
+                row = {
+                    "path": path,
+                    "res_idx": res_idx,
+                    "scope_name": scope_name,
+                    "trace_id": None,
+                    "span_id": None,
+                    "parent_span_id": None,
+                    "name": None,
+                    "kind": None,
+                    "start_time_unix_nano": None,
+                    "end_time_unix_nano": None,
+                    "status_code": None,
+                    "n_attrs": 0,
+                    "n_events": 0,
+                    "n_links": 0,
+                }
+                for sf, _, sv in _iter_fields(data, v[0], v[1]):
+                    if sf == 1:
+                        row["trace_id"] = bytes(data[sv[0]:sv[1]]).hex()
+                    elif sf == 2:
+                        row["span_id"] = bytes(data[sv[0]:sv[1]]).hex()
+                    elif sf == 4:
+                        row["parent_span_id"] = bytes(data[sv[0]:sv[1]]).hex()
+                    elif sf == 5:
+                        row["name"] = bytes(data[sv[0]:sv[1]]).decode("utf-8", "replace")
+                    elif sf == 6:
+                        row["kind"] = sv
+                    elif sf == 7:
+                        row["start_time_unix_nano"] = sv
+                    elif sf == 8:
+                        row["end_time_unix_nano"] = sv
+                    elif sf == 9:
+                        row["n_attrs"] += 1
+                    elif sf == 11:
+                        row["n_events"] += 1
+                    elif sf == 13:
+                        row["n_links"] += 1
+                    elif sf == 15:
+                        for stf, _, stv in _iter_fields(data, sv[0], sv[1]):
+                            if stf == 3:
+                                row["status_code"] = stv
+                rows.append(row)
+    return rows
+
+
+def encode_export_trace_request(spans: list[dict]) -> bytes:
+    """Flat span dicts -> ExportTraceServiceRequest bytes. trace_id must be
+    16 bytes and span ids 8 when present (the ID-validation contract,
+    logs.go:145-154 family)."""
+
+    def _id(r: dict, key: str, nbytes: int) -> bytes | None:
+        if not r.get(key):
+            return None
+        raw = bytes.fromhex(r[key])
+        if len(raw) != nbytes:
+            raise ValueError(f"{key} must be {nbytes} bytes, got {len(raw)}")
+        return raw
+
+    by_res: dict[int, list[dict]] = {}
+    for r in spans:
+        by_res.setdefault(r.get("res_idx", 0), []).append(r)
+    out = bytearray()
+    for res_idx in sorted(by_res):
+        recs = by_res[res_idx]
+        scope = b""
+        name = next((r.get("scope_name") for r in recs if r.get("scope_name")), None)
+        if name:
+            scope = _ld(1, _ld(1, name.encode()))
+        body = bytearray()
+        for r in recs:
+            sp = bytearray()
+            for key, field, nbytes in (
+                ("trace_id", 1, 16), ("span_id", 2, 8), ("parent_span_id", 4, 8)
+            ):
+                raw = _id(r, key, nbytes)
+                if raw is not None:
+                    sp += _ld(field, raw)
+            if r.get("name"):
+                sp += _ld(5, r["name"].encode())
+            if r.get("kind") is not None:
+                sp += _tag(6, 0) + _write_varint(r["kind"])
+            if r.get("start_time_unix_nano") is not None:
+                sp += _tag(7, 1) + struct.pack("<Q", r["start_time_unix_nano"])
+            if r.get("end_time_unix_nano") is not None:
+                sp += _tag(8, 1) + struct.pack("<Q", r["end_time_unix_nano"])
+            for k, v in (r.get("attrs") or {}).items():
+                sp += _ld(9, _ld(1, k.encode()) + _ld(2, _ld(1, str(v).encode())))
+            for ev in r.get("events") or []:
+                e = bytearray()
+                if ev.get("time_unix_nano") is not None:
+                    e += _tag(1, 1) + struct.pack("<Q", ev["time_unix_nano"])
+                if ev.get("name"):
+                    e += _ld(2, ev["name"].encode())
+                sp += _ld(11, bytes(e))
+            if r.get("status_code") is not None:
+                sp += _ld(15, _tag(3, 0) + _write_varint(r["status_code"]))
+            body += _ld(2, bytes(sp))
+        out += _ld(1, bytes(_ld(2, scope + bytes(body))))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Spark plumbing
 # ---------------------------------------------------------------------------
 
@@ -284,3 +427,37 @@ def read_pb_logs(spark: SparkSession, path: str) -> DataFrame:
 
     binary = spark.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(path)
     return binary.select("path", "content").mapInPandas(decode, PB_LOG_SCHEMA)
+
+
+def read_pb_spans(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed trace-capture load: same binaryFile + mapInPandas shape
+    as read_pb_logs, one ExportTraceServiceRequest per file."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    cols = [
+        "path", "res_idx", "scope_name", "trace_id", "span_id",
+        "parent_span_id", "name", "kind", "start_time_unix_nano",
+        "end_time_unix_nano", "status_code", "n_attrs", "n_events", "n_links",
+    ]
+
+    def decode(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows.extend(decode_export_trace_request(bytes(content), path_))
+                except Exception as e:  # noqa: BLE001 — quarantine, don't crash
+                    rows.append(
+                        {
+                            "path": path_,
+                            "res_idx": -1,
+                            "name": f"__decode_error__: {e}",
+                            "n_attrs": 0,
+                            "n_events": 0,
+                            "n_links": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    binary = spark.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(path)
+    return binary.select("path", "content").mapInPandas(decode, PB_SPAN_SCHEMA)

@@ -166,3 +166,80 @@ def test_exp2_lower_bound_property():
         assert lo == 1 or (lo - 1) ** p < (1 << i)
 
     check()
+
+
+SPAN_SAMPLE = [
+    {
+        "res_idx": 0,
+        "scope_name": "tracer.a",
+        "trace_id": "0102030405060708090a0b0c0d0e0f10",
+        "span_id": "0102030405060708",
+        "parent_span_id": "1112131415161718",
+        "name": "GET /x",
+        "kind": 2,
+        "start_time_unix_nano": 1_700_000_000_000_000_000,
+        "end_time_unix_nano": 1_700_000_000_000_005_000,
+        "status_code": 1,
+        "attrs": {"http.method": "GET"},
+        "events": [
+            {"time_unix_nano": 1_700_000_000_000_001_000, "name": "start"},
+            {"time_unix_nano": 1_700_000_000_000_004_000, "name": "end"},
+        ],
+    },
+    {
+        "res_idx": 1,
+        "trace_id": "0102030405060708090a0b0c0d0e0f10",
+        "span_id": "2122232425262728",
+        "name": "child",
+        "kind": 1,
+    },
+]
+
+
+def test_pb_trace_roundtrip_pure_python():
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_trace_request,
+        encode_export_trace_request,
+    )
+
+    rows = decode_export_trace_request(encode_export_trace_request(SPAN_SAMPLE))
+    assert len(rows) == 2
+    r0 = next(r for r in rows if r["name"] == "GET /x")
+    assert r0["trace_id"] == "0102030405060708090a0b0c0d0e0f10"
+    assert r0["span_id"] == "0102030405060708"
+    assert r0["parent_span_id"] == "1112131415161718"
+    assert r0["kind"] == 2 and r0["status_code"] == 1
+    assert r0["start_time_unix_nano"] == 1_700_000_000_000_000_000
+    assert r0["end_time_unix_nano"] == 1_700_000_000_000_005_000
+    assert r0["n_attrs"] == 1 and r0["n_events"] == 2 and r0["n_links"] == 0
+    assert r0["scope_name"] == "tracer.a"
+    r1 = next(r for r in rows if r["name"] == "child")
+    assert r1["res_idx"] == 1 and r1["parent_span_id"] is None
+
+
+def test_pb_trace_writer_validates_ids():
+    from otel_arrow_adapter_spark.sources import encode_export_trace_request
+
+    with pytest.raises(ValueError, match="trace_id"):
+        encode_export_trace_request([{"trace_id": "0102"}])
+    with pytest.raises(ValueError, match="parent_span_id"):
+        encode_export_trace_request([{"parent_span_id": "01"}])
+
+
+def test_pb_trace_spark_reader(spark, tmp_path):
+    from otel_arrow_adapter_spark.sources import (
+        encode_export_trace_request,
+        read_pb_spans,
+    )
+
+    d = tmp_path / "trace_captures"
+    d.mkdir()
+    (d / "a.pb").write_bytes(encode_export_trace_request(SPAN_SAMPLE))
+    (d / "bad.pb").write_bytes(b"\x9a\xff\x01garbage")
+
+    rows = read_pb_spans(spark, str(d)).collect()
+    good = [r for r in rows if r["res_idx"] >= 0]
+    bad = [r for r in rows if r["res_idx"] == -1]
+    assert len(good) == 2
+    assert {r["span_id"] for r in good} == {"0102030405060708", "2122232425262728"}
+    assert len(bad) == 1 and "__decode_error__" in bad[0]["name"]
