@@ -388,6 +388,226 @@ def encode_export_trace_request(spans: list[dict]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# OTLP metrics decode/encode (real_metrics_dataset.go loads the same
+# single-request .pb shape; public metrics.proto field numbers:
+#   ExportMetricsServiceRequest: resource_metrics = 1
+#   ResourceMetrics: resource = 1, scope_metrics = 2
+#   ScopeMetrics:    scope = 1, metrics = 2
+#   Metric: name=1, description=2, unit=3,
+#           gauge=5 / sum=7 / histogram=9 / exponential_histogram=10 /
+#           summary=11 (the data oneof)
+#   Gauge/Sum/Histogram: data_points=1; Sum: temporality=2, is_monotonic=3
+#   NumberDataPoint: start=2 (fixed64), time=3 (fixed64),
+#                    as_double=4 (fixed64 double), as_int=6 (sfixed64),
+#                    attributes=7
+#   HistogramDataPoint: start=2, time=3, count=4 (fixed64), sum=5 (double),
+#                    bucket_counts=6 (packed fixed64),
+#                    explicit_bounds=7 (packed doubles), attributes=9
+# ---------------------------------------------------------------------------
+
+PB_METRIC_SCHEMA = (
+    "path string, res_idx int, scope_name string, metric_name string, "
+    "metric_unit string, metric_type string, temporality int, "
+    "is_monotonic boolean, start_time_unix_nano long, time_unix_nano long, "
+    "value_double double, value_int long, count long, sum double, "
+    "bucket_counts string, explicit_bounds string, n_attrs int"
+)
+
+_METRIC_TYPES = {5: "gauge", 7: "sum", 9: "histogram",
+                 10: "exponential_histogram", 11: "summary"}
+
+
+def _decode_number_dp(data: bytes, lo: int, hi: int) -> dict:
+    dp = {"start_time_unix_nano": None, "time_unix_nano": None,
+          "value_double": None, "value_int": None, "n_attrs": 0}
+    for f, _, v in _iter_fields(data, lo, hi):
+        if f == 2:
+            dp["start_time_unix_nano"] = v
+        elif f == 3:
+            dp["time_unix_nano"] = v
+        elif f == 4:
+            dp["value_double"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif f == 6:
+            dp["value_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
+        elif f == 7:
+            dp["n_attrs"] += 1
+    return dp
+
+
+def _decode_hist_dp(data: bytes, lo: int, hi: int) -> dict:
+    dp = {"start_time_unix_nano": None, "time_unix_nano": None,
+          "count": None, "sum": None, "bucket_counts": None,
+          "explicit_bounds": None, "n_attrs": 0}
+    for f, wt, v in _iter_fields(data, lo, hi):
+        if f == 2:
+            dp["start_time_unix_nano"] = v
+        elif f == 3:
+            dp["time_unix_nano"] = v
+        elif f == 4:
+            dp["count"] = v
+        elif f == 5:
+            dp["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif f == 6 and wt == 2:  # packed fixed64
+            vals = struct.unpack_from(f"<{(v[1] - v[0]) // 8}Q", data, v[0])
+            dp["bucket_counts"] = ",".join(str(x) for x in vals)
+        elif f == 7 and wt == 2:  # packed doubles
+            vals = struct.unpack_from(f"<{(v[1] - v[0]) // 8}d", data, v[0])
+            dp["explicit_bounds"] = ",".join(repr(x) for x in vals)
+        elif f == 9:
+            dp["n_attrs"] += 1
+    return dp
+
+
+def decode_export_metrics_request(data: bytes, path: str = "") -> list[dict]:
+    """ExportMetricsServiceRequest bytes -> flat data-point dicts (the
+    reference's per-DP flattening, real_metrics_dataset.go)."""
+    rows: list[dict] = []
+    for res_idx, (_, _, span_rm) in enumerate(
+        f for f in _iter_fields(data, 0, len(data)) if f[0] == 1
+    ):
+        scopes = [v for f, _, v in _iter_fields(data, span_rm[0], span_rm[1]) if f == 2]
+        for s_lo, s_hi in scopes:
+            scope_name = None
+            for f, _, v in _iter_fields(data, s_lo, s_hi):
+                if f == 1:
+                    for sf, _, sv in _iter_fields(data, v[0], v[1]):
+                        if sf == 1:
+                            scope_name = bytes(data[sv[0]:sv[1]]).decode("utf-8", "replace")
+            for f, _, v in _iter_fields(data, s_lo, s_hi):
+                if f != 2:  # metrics
+                    continue
+                name = unit = None
+                for mf, _, mv in _iter_fields(data, v[0], v[1]):
+                    if mf == 1:
+                        name = bytes(data[mv[0]:mv[1]]).decode("utf-8", "replace")
+                    elif mf == 3:
+                        unit = bytes(data[mv[0]:mv[1]]).decode("utf-8", "replace")
+                for mf, _, mv in _iter_fields(data, v[0], v[1]):
+                    if mf not in _METRIC_TYPES:
+                        continue
+                    mtype = _METRIC_TYPES[mf]
+                    temporality = monotonic = None
+                    dps = []
+                    for df, _, dv in _iter_fields(data, mv[0], mv[1]):
+                        if df == 1:
+                            dps.append(dv)
+                        elif df == 2 and mtype in ("sum", "histogram",
+                                                   "exponential_histogram"):
+                            temporality = dv
+                        elif df == 3 and mtype == "sum":
+                            monotonic = bool(dv)
+                    for d_lo, d_hi in dps:
+                        base = {
+                            "path": path, "res_idx": res_idx,
+                            "scope_name": scope_name, "metric_name": name,
+                            "metric_unit": unit, "metric_type": mtype,
+                            "temporality": temporality,
+                            "is_monotonic": monotonic,
+                            "count": None, "sum": None,
+                            "bucket_counts": None, "explicit_bounds": None,
+                            "value_double": None, "value_int": None,
+                        }
+                        dp = (
+                            _decode_hist_dp(data, d_lo, d_hi)
+                            if mtype == "histogram"
+                            else _decode_number_dp(data, d_lo, d_hi)
+                        )
+                        base.update(dp)
+                        rows.append(base)
+    return rows
+
+
+def encode_export_metrics_request(points: list[dict]) -> bytes:
+    """Flat DP dicts -> ExportMetricsServiceRequest bytes. Points group by
+    (res_idx, metric_name); metric_type picks the data oneof (gauge, sum,
+    histogram)."""
+    by_res: dict[int, dict[tuple, list[dict]]] = {}
+    for p in points:
+        by_res.setdefault(p.get("res_idx", 0), {}).setdefault(
+            (p.get("metric_name"), p.get("metric_type", "gauge")), []
+        ).append(p)
+    out = bytearray()
+    for res_idx in sorted(by_res):
+        metrics = bytearray()
+        for (name, mtype), dps in by_res[res_idx].items():
+            m = bytearray()
+            if name:
+                m += _ld(1, name.encode())
+            if dps[0].get("metric_unit"):
+                m += _ld(3, dps[0]["metric_unit"].encode())
+            payload = bytearray()
+            for p in dps:
+                dp = bytearray()
+                if p.get("start_time_unix_nano") is not None:
+                    dp += _tag(2, 1) + struct.pack("<Q", p["start_time_unix_nano"])
+                if p.get("time_unix_nano") is not None:
+                    dp += _tag(3, 1) + struct.pack("<Q", p["time_unix_nano"])
+                if mtype == "histogram":
+                    if p.get("count") is not None:
+                        dp += _tag(4, 1) + struct.pack("<Q", p["count"])
+                    if p.get("sum") is not None:
+                        dp += _tag(5, 1) + struct.pack("<d", p["sum"])
+                    if p.get("bucket_counts"):
+                        vals = [int(x) for x in str(p["bucket_counts"]).split(",")]
+                        dp += _ld(6, struct.pack(f"<{len(vals)}Q", *vals))
+                    if p.get("explicit_bounds"):
+                        vals = [float(x) for x in str(p["explicit_bounds"]).split(",")]
+                        dp += _ld(7, struct.pack(f"<{len(vals)}d", *vals))
+                    for k, vv in (p.get("attrs") or {}).items():
+                        dp += _ld(9, _ld(1, k.encode()) + _ld(2, _ld(1, str(vv).encode())))
+                else:
+                    if p.get("value_double") is not None:
+                        dp += _tag(4, 1) + struct.pack("<d", p["value_double"])
+                    if p.get("value_int") is not None:
+                        dp += _tag(6, 1) + struct.pack("<q", p["value_int"])
+                    for k, vv in (p.get("attrs") or {}).items():
+                        dp += _ld(7, _ld(1, k.encode()) + _ld(2, _ld(1, str(vv).encode())))
+                payload += _ld(1, bytes(dp))
+            if mtype == "sum":
+                if dps[0].get("temporality") is not None:
+                    payload += _tag(2, 0) + _write_varint(dps[0]["temporality"])
+                if dps[0].get("is_monotonic"):
+                    payload += _tag(3, 0) + _write_varint(1)
+            elif mtype == "histogram" and dps[0].get("temporality") is not None:
+                payload += _tag(2, 0) + _write_varint(dps[0]["temporality"])
+            field = {v: k for k, v in _METRIC_TYPES.items()}[mtype]
+            m += _ld(field, bytes(payload))
+            metrics += _ld(2, bytes(m))
+        out += _ld(1, _ld(2, bytes(metrics)))
+    return bytes(out)
+
+
+def read_pb_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed metrics-capture load (binaryFile + mapInPandas, one
+    ExportMetricsServiceRequest per file; decode errors quarantine)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    cols = [
+        "path", "res_idx", "scope_name", "metric_name", "metric_unit",
+        "metric_type", "temporality", "is_monotonic",
+        "start_time_unix_nano", "time_unix_nano", "value_double",
+        "value_int", "count", "sum", "bucket_counts", "explicit_bounds",
+        "n_attrs",
+    ]
+
+    def decode(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows.extend(decode_export_metrics_request(bytes(content), path_))
+                except Exception as e:  # noqa: BLE001 — quarantine, don't crash
+                    rows.append(
+                        {"path": path_, "res_idx": -1,
+                         "metric_name": f"__decode_error__: {e}", "n_attrs": 0}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    binary = spark.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(path)
+    return binary.select("path", "content").mapInPandas(decode, PB_METRIC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Spark plumbing
 # ---------------------------------------------------------------------------
 

@@ -243,3 +243,69 @@ def test_pb_trace_spark_reader(spark, tmp_path):
     assert len(good) == 2
     assert {r["span_id"] for r in good} == {"0102030405060708", "2122232425262728"}
     assert len(bad) == 1 and "__decode_error__" in bad[0]["name"]
+
+
+METRIC_SAMPLE = [
+    {
+        "res_idx": 0, "scope_name": None, "metric_name": "cpu_pct",
+        "metric_unit": "%", "metric_type": "gauge",
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "value_double": 0.93, "attrs": {"core": "0"},
+    },
+    {
+        "res_idx": 0, "metric_name": "requests", "metric_type": "sum",
+        "temporality": 2, "is_monotonic": True,
+        "start_time_unix_nano": 1_699_999_000_000_000_000,
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "value_int": 12345, "attrs": {},
+    },
+    {
+        "res_idx": 1, "metric_name": "latency_ms", "metric_unit": "ms",
+        "metric_type": "histogram", "temporality": 1,
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "count": 10, "sum": 123.5,
+        "bucket_counts": "1,4,5", "explicit_bounds": "10.0,100.0",
+        "attrs": {"route": "/x"},
+    },
+]
+
+
+def test_pb_metrics_roundtrip_pure_python():
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_metrics_request,
+        encode_export_metrics_request,
+    )
+
+    rows = decode_export_metrics_request(encode_export_metrics_request(METRIC_SAMPLE))
+    assert len(rows) == 3
+    g = next(r for r in rows if r["metric_name"] == "cpu_pct")
+    assert g["metric_type"] == "gauge" and g["metric_unit"] == "%"
+    assert g["value_double"] == 0.93 and g["n_attrs"] == 1
+    s = next(r for r in rows if r["metric_name"] == "requests")
+    assert s["metric_type"] == "sum" and s["temporality"] == 2
+    assert s["is_monotonic"] is True and s["value_int"] == 12345
+    assert s["start_time_unix_nano"] == 1_699_999_000_000_000_000
+    h = next(r for r in rows if r["metric_name"] == "latency_ms")
+    assert h["metric_type"] == "histogram" and h["temporality"] == 1
+    assert h["count"] == 10 and h["sum"] == 123.5
+    assert h["bucket_counts"] == "1,4,5"
+    assert [float(x) for x in h["explicit_bounds"].split(",")] == [10.0, 100.0]
+    assert h["res_idx"] != g["res_idx"]
+
+
+def test_pb_metrics_spark_reader(spark, tmp_path):
+    from otel_arrow_adapter_spark.sources import (
+        encode_export_metrics_request,
+        read_pb_metrics,
+    )
+
+    d = tmp_path / "metric_captures"
+    d.mkdir()
+    (d / "a.pb").write_bytes(encode_export_metrics_request(METRIC_SAMPLE))
+    (d / "bad.pb").write_bytes(b"\x0a\xff\xff\x7fgarbage")
+
+    rows = read_pb_metrics(spark, str(d)).collect()
+    good = [r for r in rows if r["res_idx"] >= 0]
+    bad = [r for r in rows if r["res_idx"] == -1]
+    assert {r["metric_type"] for r in good} == {"gauge", "sum", "histogram"}
+    assert len(bad) == 1 and "__decode_error__" in bad[0]["metric_name"]
