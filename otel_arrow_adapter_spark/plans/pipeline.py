@@ -133,6 +133,14 @@ def run_pipeline(
         for b in todo:
             metrics = per_bucket.get(b, {})
             ledger.record(f"bucket={b}", "done", sum(metrics.values()), metrics)
+        # ProducerStats batch counters (stats.go:29-34: *BatchesProduced):
+        # one "batch" = one (bucket, sink) partition written this run
+        from .stats import ProducerStats
+
+        pstats = ProducerStats()
+        for r in stats:
+            pstats.inc(f"{r['sink']}_batches_produced")
+        pstats.flush_to_ledger(ledger)
 
     routed = spark.read.parquet(f"{out_dir}/routed")
     counts = counts_from_routed(routed, run_id)

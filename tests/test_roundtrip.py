@@ -79,6 +79,25 @@ def test_resumable_buckets_no_loss_no_dupes(spark, transcripts, small_catalog, t
     run_pipeline(spark, transcripts, small_catalog, out, run_id="r3", n_buckets=4, resume=True)
     assert len(calls) == 2
     assert _roundtrip_diff(transcripts, reconstruct_turns(pipeline_sinks(spark, out))) == 0
+    # ProducerStats batch counters landed in the ledger (stats.go:29-34
+    # analog): the first full run produced one batch per (bucket, sink)
+    import json as _json
+
+    stat_rows = [
+        _json.loads(line)
+        for line in open(f"{out}/_ledger/ledger.jsonl")
+        if '"partition_key": "producer_stats"' in line
+    ]
+    assert stat_rows, "producer_stats ledger row missing"
+    first = stat_rows[0]["metrics"]  # full r1 run: 4 buckets x 4 sinks
+    assert first == {
+        "logs_batches_produced": 4,
+        "metrics_batches_produced": 4,
+        "traces_batches_produced": 4,
+        "quarantine_batches_produced": 4,
+    }
+    # the partial r3 resume produced batches for ONE bucket only
+    assert all(v == 1 for v in stat_rows[-1]["metrics"].values())
 
 
 def test_corrupt_rows_quarantined_not_crashed(spark, small_catalog, tmp_path):
