@@ -102,6 +102,32 @@ if __name__ == "__main__":
     print(json.dumps(out))
 """
 
+_CODEC_SIZES = r"""
+import sys, json, os, time
+sys.path.insert(0, {repo!r})
+from otel_arrow_adapter_spark.session import get_spark
+from otel_arrow_adapter_spark.datagen import synthesize_tool_catalog
+from otel_arrow_adapter_spark.plans import build_labeled
+from otel_arrow_adapter_spark.operators.route import write_routed
+
+cores, in_path, out_base = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spark = get_spark(app_name="oaas-codecbench", cores=cores, shuffle_partitions=cores)
+t = spark.read.parquet(in_path)
+labeled = build_labeled(t, synthesize_tool_catalog(spark, n_tools=45)).persist()
+labeled.count()  # materialize once so each codec write times ONLY the write
+out = {{}}
+for codec in ["zstd", "snappy", "gzip", "lz4", "none"]:
+    sub = f"routed_codec_{{codec}}"
+    t0 = time.perf_counter()
+    write_routed(labeled, out_base, subdir=sub, suppress_text=True, codec=codec)
+    el = time.perf_counter() - t0
+    total = 0
+    for root, _, files in os.walk(f"{{out_base}}/{{sub}}"):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    out[codec] = {{"bytes": total, "sec": round(el, 2)}}
+print(json.dumps(out))
+"""
+
 _SORT_SIZES = r"""
 import sys, json, os
 sys.path.insert(0, {repo!r})
@@ -155,6 +181,20 @@ def host_steal_ratio() -> float:
         parts = f.readline().split()
     user, steal = int(parts[1]), int(parts[8])
     return steal / user if user else 0.0
+
+
+def codec_sizes(cores: int, in_path: str, out_base: str) -> dict[str, dict]:
+    """Routed-output bytes + write seconds per parquet codec — the
+    reference benchmarks codecs as first-class variables
+    (pkg/benchmark/compression.go: zstd, lz4; parquet adds snappy/gzip)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _CODEC_SIZES.format(repo=repo)
+    r = subprocess.run(
+        [sys.executable, "-c", code, str(cores), in_path, out_base],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_DRIVER_MEM": "12g"},
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def sort_strategy_sizes(cores: int, in_path: str, out_base: str) -> dict[str, int]:
@@ -316,6 +356,7 @@ def main() -> None:
     probe_8full = round(units[CPUS] / units[8] / (CPUS / 8), 3) if CPUS != 8 else 1.0
     steal = host_steal_ratio()
     sort_sizes = sort_strategy_sizes(CPUS, in_path, f"{WORK}/sortbench")
+    codecs = codec_sizes(CPUS, in_path, f"{WORK}/codecbench")
 
     tp_full = n_turns / t_full
     tp_n, tp_4n = n_turns / t_n, n_turns / t_4n
@@ -343,6 +384,7 @@ def main() -> None:
         "host_cpu_probe_efficiency_8_to_full": probe_8full,
         "host_steal_per_user_ratio": round(steal, 3),
         "sort_strategy_bytes": sort_sizes,
+        "codec_bytes": codecs,
         **recall,
         **mv,
     }
@@ -393,6 +435,14 @@ def main() -> None:
             "metrics/arrow/config.go:92-101):\n\n"
             "| strategy | bytes |\n|---|---|\n"
             + "".join(f"| {k} | {v:,} |\n" for k, v in sorted(sort_sizes.items()))
+            + "\n## Parquet codec trade (compression.go analog)\n\n"
+            "Same routed output (default sort keys, text suppression on),\n"
+            "one write per codec over the SAME materialized input:\n\n"
+            "| codec | bytes | write sec |\n|---|---|---|\n"
+            + "".join(
+                f"| {k} | {v['bytes']:,} | {v['sec']} |\n"
+                for k, v in sorted(codecs.items(), key=lambda kv: kv[1]["bytes"])
+            )
             + "\n## ANN recall at scale-real plane counts\n\n"
             "Ground truth = brute-force pairs cos >= 0.9 over the SF embeddings\n"
             "plus planted near-duplicates (additive noise, cos ~0.95 with real\n"

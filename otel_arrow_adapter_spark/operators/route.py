@@ -268,6 +268,7 @@ def write_routed(
     sort_strategy: str = "shared_native",
     extra_partition_cols: tuple[str, ...] = (),
     suppress_text: bool = False,
+    codec: str = "zstd",
 ) -> None:
     """One sorted dynamic-partition write for all sinks (S3 analog:
     IPC+ZSTD+dict-deltas -> Parquet dictionary pages + zstd). Each sink
@@ -296,7 +297,7 @@ def write_routed(
     (
         slim.sortWithinPartitions(*sort_cols)
         .write.mode(mode)
-        .option("compression", "zstd")
+        .option("compression", codec)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*extra_partition_cols, "sink")
         .parquet(f"{out_dir}/{subdir}")
