@@ -380,6 +380,13 @@ def encode_export_trace_request(spans: list[dict]) -> bytes:
                 if ev.get("name"):
                     e += _ld(2, ev["name"].encode())
                 sp += _ld(11, bytes(e))
+            for ln in r.get("links") or []:
+                lk = bytearray()
+                for key, field, nbytes in (("trace_id", 1, 16), ("span_id", 2, 8)):
+                    raw = _id(ln, key, nbytes)
+                    if raw is not None:
+                        lk += _ld(field, raw)
+                sp += _ld(13, bytes(lk))
             if r.get("status_code") is not None:
                 sp += _ld(15, _tag(3, 0) + _write_varint(r["status_code"]))
             body += _ld(2, bytes(sp))

@@ -185,6 +185,9 @@ SPAN_SAMPLE = [
             {"time_unix_nano": 1_700_000_000_000_001_000, "name": "start"},
             {"time_unix_nano": 1_700_000_000_000_004_000, "name": "end"},
         ],
+        "links": [
+            {"trace_id": "202122232425262728292a2b2c2d2e2f", "span_id": "3132333435363738"}
+        ],
     },
     {
         "res_idx": 1,
@@ -211,7 +214,7 @@ def test_pb_trace_roundtrip_pure_python():
     assert r0["kind"] == 2 and r0["status_code"] == 1
     assert r0["start_time_unix_nano"] == 1_700_000_000_000_000_000
     assert r0["end_time_unix_nano"] == 1_700_000_000_000_005_000
-    assert r0["n_attrs"] == 1 and r0["n_events"] == 2 and r0["n_links"] == 0
+    assert r0["n_attrs"] == 1 and r0["n_events"] == 2 and r0["n_links"] == 1
     assert r0["scope_name"] == "tracer.a"
     r1 = next(r for r in rows if r["name"] == "child")
     assert r1["res_idx"] == 1 and r1["parent_span_id"] is None
