@@ -1192,7 +1192,14 @@ def q_pipeline_pb_capture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     severity rollup. The oracle replays the rollup straight from the
     transcripts, so equality holds iff encode∘decode == id on every frame
     (wire format included). Workers write to driver-local tmp (local mode);
-    on a cluster the capture dir is shared storage."""
+    on a cluster the capture dir is shared storage. Capture files are named
+    by PARTITION ID (TaskContext), not uuid: a retried or speculatively
+    re-executed task overwrites its own file instead of duplicating the
+    partition's records; the capture dir is deterministic per sf_dir and
+    cleared at query start, so repeated runs reuse one dir instead of
+    accumulating mkdtemp leftovers."""
+    import hashlib
+    import shutil
     import tempfile
 
     from otel_arrow_adapter_spark.sources.otlp_pb import (
@@ -1210,20 +1217,25 @@ def q_pipeline_pb_capture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("log_ts_us") * 1000).alias("time_unix_nano"),
         )
     )
-    out = tempfile.mkdtemp(prefix="oaas_pb_capture_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oaas_pb_capture_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
 
     def write_pb(batches):
         import os
-        import uuid
 
         import pandas as pd
+        from pyspark import TaskContext
 
+        recs = []
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
                 continue
             clean = pdf.astype(object).where(pdf.notna(), None)
-            recs = [
+            recs.extend(
                 {
                     "res_idx": 0,
                     "severity_text": r["severity_text"],
@@ -1236,11 +1248,14 @@ def q_pipeline_pb_capture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
                     else int(r["time_unix_nano"]),
                 }
                 for r in clean.to_dict("records")
-            ]
-            path = os.path.join(out, f"{uuid.uuid4().hex}.pb")
-            with open(path, "wb") as f:
+            )
+        if recs:
+            # one file per partition, deterministic name: a task retry
+            # OVERWRITES its own output instead of adding a duplicate
+            pid = TaskContext.get().partitionId()
+            with open(os.path.join(out, f"part-{pid:05d}.pb"), "wb") as f:
                 f.write(encode_export_logs_request(recs))
-            yield pd.DataFrame({"n": [len(recs)]})
+        yield pd.DataFrame({"n": [len(recs)]})
 
     logs.mapInPandas(write_pb, "n long").agg(F.sum("n")).collect()  # write action
     decoded = read_pb_logs(spark, out)

@@ -41,7 +41,8 @@ PB_LOG_SCHEMA = (
     "path string, res_idx int, scope_name string, scope_version string, "
     "time_unix_nano long, observed_time_unix_nano long, "
     "severity_number int, severity_text string, body string, "
-    "trace_id string, span_id string, n_res_attrs int, n_attrs int"
+    "trace_id string, span_id string, n_res_attrs int, n_attrs int, "
+    "res_attrs map<string,string>, attrs map<string,string>"
 )
 
 
@@ -100,6 +101,16 @@ def _iter_fields(buf: bytes, i: int, end: int) -> Iterator[tuple[int, int, objec
         yield field, wt, v
 
 
+def _zigzag_decode(v: int) -> int:
+    """sint32/sint64 wire value -> signed int (public protobuf zigzag)."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _zigzag_encode(n: int) -> int:
+    # Python ints are arbitrary precision, so n >> 63 works for any sint64
+    return (n << 1) ^ (n >> 63)
+
+
 def _tag(field: int, wt: int) -> bytes:
     return _write_varint((field << 3) | wt)
 
@@ -131,6 +142,17 @@ def _count_attrs(buf: bytes, lo: int, hi: int) -> int:
     return sum(1 for f, _, _ in _iter_fields(buf, lo, hi) if f == 1)
 
 
+def _decode_kv(buf: bytes, lo: int, hi: int) -> tuple[str | None, str | None]:
+    """One KeyValue message -> (key, AnyValue rendered as string)."""
+    key = val = None
+    for f, _, v in _iter_fields(buf, lo, hi):
+        if f == 1:
+            key = bytes(buf[v[0]:v[1]]).decode("utf-8", "replace")
+        elif f == 2:
+            val = _decode_any_value(buf, v[0], v[1])
+    return key, val
+
+
 def decode_export_logs_request(data: bytes, path: str = "") -> list[dict]:
     """ExportLogsServiceRequest bytes -> flat log-record dicts (the
     reference's logUnit flattening, real_logs_dataset.go:142-152)."""
@@ -138,13 +160,15 @@ def decode_export_logs_request(data: bytes, path: str = "") -> list[dict]:
     for res_idx, (f_rl, _, span_rl) in enumerate(
         f for f in _iter_fields(data, 0, len(data)) if f[0] == 1
     ):
-        n_res_attrs = 0
+        res_attrs: dict[str, str | None] = {}
         scopes: list[tuple[int, int]] = []
         for f, _, v in _iter_fields(data, span_rl[0], span_rl[1]):
             if f == 1:  # resource
                 for rf, _, rv in _iter_fields(data, v[0], v[1]):
                     if rf == 1:
-                        n_res_attrs += 1
+                        k, av = _decode_kv(data, rv[0], rv[1])
+                        if k is not None:
+                            res_attrs[k] = av
             elif f == 2:  # scope_logs
                 scopes.append(v)
         for s_lo, s_hi in scopes:
@@ -171,8 +195,10 @@ def decode_export_logs_request(data: bytes, path: str = "") -> list[dict]:
                     "body": None,
                     "trace_id": None,
                     "span_id": None,
-                    "n_res_attrs": n_res_attrs,
+                    "n_res_attrs": len(res_attrs),
                     "n_attrs": 0,
+                    "res_attrs": res_attrs,
+                    "attrs": {},
                 }
                 for lf, _, lv in _iter_fields(data, v[0], v[1]):
                     if lf == 1:
@@ -185,6 +211,9 @@ def decode_export_logs_request(data: bytes, path: str = "") -> list[dict]:
                         row["body"] = _decode_any_value(data, lv[0], lv[1])
                     elif lf == 6:
                         row["n_attrs"] += 1
+                        k, av = _decode_kv(data, lv[0], lv[1])
+                        if k is not None:
+                            row["attrs"][k] = av
                     elif lf == 9:
                         row["trace_id"] = bytes(data[lv[0]:lv[1]]).hex()
                     elif lf == 10:
@@ -264,7 +293,10 @@ PB_SPAN_SCHEMA = (
     "path string, res_idx int, scope_name string, trace_id string, "
     "span_id string, parent_span_id string, name string, kind int, "
     "start_time_unix_nano long, end_time_unix_nano long, "
-    "status_code int, n_attrs int, n_events int, n_links int"
+    "status_code int, n_attrs int, n_events int, n_links int, "
+    "attrs map<string,string>, "
+    "events array<struct<time_unix_nano:long,name:string>>, "
+    "links array<struct<trace_id:string,span_id:string>>"
 )
 
 
@@ -301,6 +333,9 @@ def decode_export_trace_request(data: bytes, path: str = "") -> list[dict]:
                     "n_attrs": 0,
                     "n_events": 0,
                     "n_links": 0,
+                    "attrs": {},
+                    "events": [],
+                    "links": [],
                 }
                 for sf, _, sv in _iter_fields(data, v[0], v[1]):
                     if sf == 1:
@@ -319,10 +354,29 @@ def decode_export_trace_request(data: bytes, path: str = "") -> list[dict]:
                         row["end_time_unix_nano"] = sv
                     elif sf == 9:
                         row["n_attrs"] += 1
-                    elif sf == 11:
+                        k, av = _decode_kv(data, sv[0], sv[1])
+                        if k is not None:
+                            row["attrs"][k] = av
+                    elif sf == 11:  # Span.Event: time_unix_nano=1, name=2
                         row["n_events"] += 1
-                    elif sf == 13:
+                        ev: dict = {"time_unix_nano": None, "name": None}
+                        for ef, _, evv in _iter_fields(data, sv[0], sv[1]):
+                            if ef == 1:
+                                ev["time_unix_nano"] = evv
+                            elif ef == 2:
+                                ev["name"] = bytes(
+                                    data[evv[0]:evv[1]]
+                                ).decode("utf-8", "replace")
+                        row["events"].append(ev)
+                    elif sf == 13:  # Span.Link: trace_id=1, span_id=2
                         row["n_links"] += 1
+                        lk: dict = {"trace_id": None, "span_id": None}
+                        for lf_, _, lv_ in _iter_fields(data, sv[0], sv[1]):
+                            if lf_ == 1:
+                                lk["trace_id"] = bytes(data[lv_[0]:lv_[1]]).hex()
+                            elif lf_ == 2:
+                                lk["span_id"] = bytes(data[lv_[0]:lv_[1]]).hex()
+                        row["links"].append(lk)
                     elif sf == 15:
                         for stf, _, stv in _iter_fields(data, sv[0], sv[1]):
                             if stf == 3:
@@ -410,6 +464,13 @@ def encode_export_trace_request(spans: list[dict]) -> bytes:
 #   HistogramDataPoint: start=2, time=3, count=4 (fixed64), sum=5 (double),
 #                    bucket_counts=6 (packed fixed64),
 #                    explicit_bounds=7 (packed doubles), attributes=9
+#   ExponentialHistogramDataPoint: attributes=1, start=2, time=3,
+#                    count=4 (fixed64), sum=5 (double), scale=6 (sint32),
+#                    zero_count=7 (fixed64), positive=8 / negative=9
+#                    (Buckets: offset=1 sint32, bucket_counts=2 packed uint64)
+#   SummaryDataPoint: start=2, time=3, count=4 (fixed64), sum=5 (double),
+#                    quantile_values=6 (quantile=1, value=2 doubles),
+#                    attributes=7
 # ---------------------------------------------------------------------------
 
 PB_METRIC_SCHEMA = (
@@ -417,7 +478,10 @@ PB_METRIC_SCHEMA = (
     "metric_unit string, metric_type string, temporality int, "
     "is_monotonic boolean, start_time_unix_nano long, time_unix_nano long, "
     "value_double double, value_int long, count long, sum double, "
-    "bucket_counts string, explicit_bounds string, n_attrs int"
+    "bucket_counts string, explicit_bounds string, n_attrs int, "
+    "scale int, zero_count long, positive_offset int, "
+    "positive_bucket_counts string, negative_offset int, "
+    "negative_bucket_counts string, quantiles string"
 )
 
 _METRIC_TYPES = {5: "gauge", 7: "sum", 9: "histogram",
@@ -463,6 +527,98 @@ def _decode_hist_dp(data: bytes, lo: int, hi: int) -> dict:
         elif f == 9:
             dp["n_attrs"] += 1
     return dp
+
+
+def _decode_exp_buckets(data: bytes, lo: int, hi: int) -> tuple[int, list[int]]:
+    """ExponentialHistogramDataPoint.Buckets: offset=1 (sint32 zigzag),
+    bucket_counts=2 (repeated uint64 — packed or unpacked)."""
+    offset, counts = 0, []
+    for f, wt, v in _iter_fields(data, lo, hi):
+        if f == 1:
+            offset = _zigzag_decode(v)
+        elif f == 2:
+            if wt == 2:  # packed varints
+                i = v[0]
+                while i < v[1]:
+                    c, i = _read_varint(data, i)
+                    counts.append(c)
+            else:
+                counts.append(v)
+    return offset, counts
+
+
+def _decode_exp_hist_dp(data: bytes, lo: int, hi: int) -> dict:
+    """ExponentialHistogramDataPoint (public metrics.proto): attributes=1,
+    start=2 (fixed64), time=3 (fixed64), count=4 (fixed64), sum=5 (double),
+    scale=6 (sint32 zigzag), zero_count=7 (fixed64), positive=8 /
+    negative=9 (Buckets with offset). The reference transports the same
+    offset-bearing DataPointBuckets on every ExpHistogramDP
+    (pkg/otel/metrics/arrow/ehistogram_dp.go:58-62)."""
+    dp = {"start_time_unix_nano": None, "time_unix_nano": None,
+          "count": None, "sum": None, "scale": None, "zero_count": None,
+          "positive_offset": None, "positive_bucket_counts": None,
+          "negative_offset": None, "negative_bucket_counts": None,
+          "n_attrs": 0}
+    for f, _, v in _iter_fields(data, lo, hi):
+        if f == 1:
+            dp["n_attrs"] += 1
+        elif f == 2:
+            dp["start_time_unix_nano"] = v
+        elif f == 3:
+            dp["time_unix_nano"] = v
+        elif f == 4:
+            dp["count"] = v
+        elif f == 5:
+            dp["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif f == 6:
+            dp["scale"] = _zigzag_decode(v)
+        elif f == 7:
+            dp["zero_count"] = v
+        elif f in (8, 9):
+            off, counts = _decode_exp_buckets(data, v[0], v[1])
+            side = "positive" if f == 8 else "negative"
+            dp[f"{side}_offset"] = off
+            dp[f"{side}_bucket_counts"] = ",".join(str(c) for c in counts)
+    return dp
+
+
+def _decode_summary_dp(data: bytes, lo: int, hi: int) -> dict:
+    """SummaryDataPoint (public metrics.proto): start=2, time=3,
+    count=4 (fixed64), sum=5 (double), quantile_values=6
+    (ValueAtQuantile: quantile=1 double, value=2 double), attributes=7.
+    Quantiles render as 'q:value' pairs (repr doubles, lossless)."""
+    dp = {"start_time_unix_nano": None, "time_unix_nano": None,
+          "count": None, "sum": None, "quantiles": None, "n_attrs": 0}
+    qs: list[str] = []
+    for f, _, v in _iter_fields(data, lo, hi):
+        if f == 2:
+            dp["start_time_unix_nano"] = v
+        elif f == 3:
+            dp["time_unix_nano"] = v
+        elif f == 4:
+            dp["count"] = v
+        elif f == 5:
+            dp["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+        elif f == 6:
+            q = qval = None
+            for qf, _, qv in _iter_fields(data, v[0], v[1]):
+                if qf == 1:
+                    q = struct.unpack("<d", struct.pack("<Q", qv))[0]
+                elif qf == 2:
+                    qval = struct.unpack("<d", struct.pack("<Q", qv))[0]
+            qs.append(f"{q!r}:{qval!r}")
+        elif f == 7:
+            dp["n_attrs"] += 1
+    if qs:
+        dp["quantiles"] = ",".join(qs)
+    return dp
+
+
+_DP_DECODERS = {
+    "histogram": _decode_hist_dp,
+    "exponential_histogram": _decode_exp_hist_dp,
+    "summary": _decode_summary_dp,
+}
 
 
 def decode_export_metrics_request(data: bytes, path: str = "") -> list[dict]:
@@ -513,11 +669,15 @@ def decode_export_metrics_request(data: bytes, path: str = "") -> list[dict]:
                             "count": None, "sum": None,
                             "bucket_counts": None, "explicit_bounds": None,
                             "value_double": None, "value_int": None,
+                            "scale": None, "zero_count": None,
+                            "positive_offset": None,
+                            "positive_bucket_counts": None,
+                            "negative_offset": None,
+                            "negative_bucket_counts": None,
+                            "quantiles": None,
                         }
-                        dp = (
-                            _decode_hist_dp(data, d_lo, d_hi)
-                            if mtype == "histogram"
-                            else _decode_number_dp(data, d_lo, d_hi)
+                        dp = _DP_DECODERS.get(mtype, _decode_number_dp)(
+                            data, d_lo, d_hi
                         )
                         base.update(dp)
                         rows.append(base)
@@ -527,7 +687,7 @@ def decode_export_metrics_request(data: bytes, path: str = "") -> list[dict]:
 def encode_export_metrics_request(points: list[dict]) -> bytes:
     """Flat DP dicts -> ExportMetricsServiceRequest bytes. Points group by
     (res_idx, metric_name); metric_type picks the data oneof (gauge, sum,
-    histogram)."""
+    histogram, exponential_histogram, summary)."""
     by_res: dict[int, dict[tuple, list[dict]]] = {}
     for p in points:
         by_res.setdefault(p.get("res_idx", 0), {}).setdefault(
@@ -562,6 +722,45 @@ def encode_export_metrics_request(points: list[dict]) -> bytes:
                         dp += _ld(7, struct.pack(f"<{len(vals)}d", *vals))
                     for k, vv in (p.get("attrs") or {}).items():
                         dp += _ld(9, _ld(1, k.encode()) + _ld(2, _ld(1, str(vv).encode())))
+                elif mtype == "exponential_histogram":
+                    for k, vv in (p.get("attrs") or {}).items():
+                        dp += _ld(1, _ld(1, k.encode()) + _ld(2, _ld(1, str(vv).encode())))
+                    if p.get("count") is not None:
+                        dp += _tag(4, 1) + struct.pack("<Q", p["count"])
+                    if p.get("sum") is not None:
+                        dp += _tag(5, 1) + struct.pack("<d", p["sum"])
+                    if p.get("scale") is not None:
+                        dp += _tag(6, 0) + _write_varint(_zigzag_encode(p["scale"]))
+                    if p.get("zero_count") is not None:
+                        dp += _tag(7, 1) + struct.pack("<Q", p["zero_count"])
+                    for side, field in (("positive", 8), ("negative", 9)):
+                        counts = p.get(f"{side}_bucket_counts")
+                        off = p.get(f"{side}_offset")
+                        if counts is None and off is None:
+                            continue
+                        b = bytearray()
+                        if off is not None:
+                            b += _tag(1, 0) + _write_varint(_zigzag_encode(off))
+                        if counts:
+                            vals = [int(x) for x in str(counts).split(",")]
+                            b += _ld(2, b"".join(_write_varint(c) for c in vals))
+                        dp += _ld(field, bytes(b))
+                elif mtype == "summary":
+                    if p.get("count") is not None:
+                        dp += _tag(4, 1) + struct.pack("<Q", p["count"])
+                    if p.get("sum") is not None:
+                        dp += _tag(5, 1) + struct.pack("<d", p["sum"])
+                    for pair in str(p.get("quantiles") or "").split(","):
+                        if not pair:
+                            continue
+                        q, qval = pair.split(":")
+                        dp += _ld(
+                            6,
+                            _tag(1, 1) + struct.pack("<d", float(q))
+                            + _tag(2, 1) + struct.pack("<d", float(qval)),
+                        )
+                    for k, vv in (p.get("attrs") or {}).items():
+                        dp += _ld(7, _ld(1, k.encode()) + _ld(2, _ld(1, str(vv).encode())))
                 else:
                     if p.get("value_double") is not None:
                         dp += _tag(4, 1) + struct.pack("<d", p["value_double"])
@@ -575,7 +774,10 @@ def encode_export_metrics_request(points: list[dict]) -> bytes:
                     payload += _tag(2, 0) + _write_varint(dps[0]["temporality"])
                 if dps[0].get("is_monotonic"):
                     payload += _tag(3, 0) + _write_varint(1)
-            elif mtype == "histogram" and dps[0].get("temporality") is not None:
+            elif (
+                mtype in ("histogram", "exponential_histogram")
+                and dps[0].get("temporality") is not None
+            ):
                 payload += _tag(2, 0) + _write_varint(dps[0]["temporality"])
             field = {v: k for k, v in _METRIC_TYPES.items()}[mtype]
             m += _ld(field, bytes(payload))
@@ -594,7 +796,9 @@ def read_pb_metrics(spark: SparkSession, path: str) -> DataFrame:
         "metric_type", "temporality", "is_monotonic",
         "start_time_unix_nano", "time_unix_nano", "value_double",
         "value_int", "count", "sum", "bucket_counts", "explicit_bounds",
-        "n_attrs",
+        "n_attrs", "scale", "zero_count", "positive_offset",
+        "positive_bucket_counts", "negative_offset",
+        "negative_bucket_counts", "quantiles",
     ]
 
     def decode(batches):
@@ -640,6 +844,8 @@ def read_pb_logs(spark: SparkSession, path: str) -> DataFrame:
                             "body": f"__decode_error__: {e}",
                             "n_res_attrs": 0,
                             "n_attrs": 0,
+                            "res_attrs": {},
+                            "attrs": {},
                         }
                     )
             yield pd.DataFrame(
@@ -649,6 +855,7 @@ def read_pb_logs(spark: SparkSession, path: str) -> DataFrame:
                     "time_unix_nano", "observed_time_unix_nano",
                     "severity_number", "severity_text", "body",
                     "trace_id", "span_id", "n_res_attrs", "n_attrs",
+                    "res_attrs", "attrs",
                 ],
             )
 
@@ -665,6 +872,7 @@ def read_pb_spans(spark: SparkSession, path: str) -> DataFrame:
         "path", "res_idx", "scope_name", "trace_id", "span_id",
         "parent_span_id", "name", "kind", "start_time_unix_nano",
         "end_time_unix_nano", "status_code", "n_attrs", "n_events", "n_links",
+        "attrs", "events", "links",
     ]
 
     def decode(batches):
@@ -682,6 +890,9 @@ def read_pb_spans(spark: SparkSession, path: str) -> DataFrame:
                             "n_attrs": 0,
                             "n_events": 0,
                             "n_links": 0,
+                            "attrs": {},
+                            "events": [],
+                            "links": [],
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)

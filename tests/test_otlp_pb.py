@@ -296,6 +296,177 @@ def test_pb_metrics_roundtrip_pure_python():
     assert h["res_idx"] != g["res_idx"]
 
 
+EXP_HIST_SAMPLE = [
+    {
+        # latency-in-ns shape: sparse buckets starting at a LARGE offset —
+        # the case the r4 NumberDP-layout fallthrough silently garbled
+        "res_idx": 0, "metric_name": "rpc_latency_ns",
+        "metric_type": "exponential_histogram", "temporality": 2,
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "count": 10, "sum": 12345.5, "scale": 0, "zero_count": 1,
+        "positive_offset": 30, "positive_bucket_counts": "3,0,4",
+        "negative_offset": -2, "negative_bucket_counts": "2",
+        "attrs": {"svc": "a"},
+    },
+    {
+        "res_idx": 0, "metric_name": "q_delay",
+        "metric_type": "summary",
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "count": 100, "sum": 5000.0,
+        "quantiles": "0.5:12.0,0.99:130.5",
+        "attrs": {"svc": "b"},
+    },
+]
+
+
+def test_pb_exp_hist_and_summary_roundtrip():
+    """Dedicated ExpHistogramDP / SummaryDP decoders (ADVICE r4: these
+    metric types previously fell through to the NumberDP field layout —
+    count reinterpreted as double bits, scale landing in value_int, and a
+    summary's quantile_values crashing the whole file into quarantine)."""
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_metrics_request,
+        encode_export_metrics_request,
+    )
+
+    rows = decode_export_metrics_request(
+        encode_export_metrics_request(EXP_HIST_SAMPLE)
+    )
+    assert len(rows) == 2
+    e = next(r for r in rows if r["metric_type"] == "exponential_histogram")
+    assert e["count"] == 10 and e["sum"] == 12345.5
+    assert e["scale"] == 0 and e["zero_count"] == 1
+    assert e["positive_offset"] == 30
+    assert e["positive_bucket_counts"] == "3,0,4"
+    assert e["negative_offset"] == -2
+    assert e["negative_bucket_counts"] == "2"
+    assert e["temporality"] == 2 and e["n_attrs"] == 1
+    # NumberDP fields stay clean — no field-layout bleed-through
+    assert e["value_double"] is None and e["value_int"] is None
+    s = next(r for r in rows if r["metric_type"] == "summary")
+    assert s["count"] == 100 and s["sum"] == 5000.0
+    assert s["quantiles"] == "0.5:12.0,0.99:130.5"
+    assert s["n_attrs"] == 1
+    assert s["value_double"] is None and s["value_int"] is None
+
+
+def test_pb_exp_hist_negative_scale_zigzag():
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_metrics_request,
+        encode_export_metrics_request,
+    )
+
+    rows = decode_export_metrics_request(
+        encode_export_metrics_request(
+            [{"res_idx": 0, "metric_name": "m",
+              "metric_type": "exponential_histogram", "scale": -3,
+              "positive_offset": -7, "positive_bucket_counts": "1,2"}]
+        )
+    )
+    assert rows[0]["scale"] == -3 and rows[0]["positive_offset"] == -7
+
+
+def test_pb_summary_does_not_quarantine_file(spark, tmp_path):
+    """A capture mixing all five metric types loads fully — one summary
+    metric no longer quarantines the whole file (ADVICE r4 failure mode)."""
+    from otel_arrow_adapter_spark.sources import (
+        encode_export_metrics_request,
+        read_pb_metrics,
+    )
+
+    d = tmp_path / "mixed_captures"
+    d.mkdir()
+    (d / "a.pb").write_bytes(
+        encode_export_metrics_request(METRIC_SAMPLE + EXP_HIST_SAMPLE)
+    )
+    rows = read_pb_metrics(spark, str(d)).collect()
+    assert all(r["res_idx"] >= 0 for r in rows)
+    assert {r["metric_type"] for r in rows} == {
+        "gauge", "sum", "histogram", "exponential_histogram", "summary"
+    }
+    e = next(r for r in rows if r["metric_type"] == "exponential_histogram")
+    assert e["positive_offset"] == 30 and e["scale"] == 0
+
+
+def test_pb_log_attr_values_roundtrip():
+    """S8 fidelity: the log reader surfaces attribute key/VALUES (not just
+    counts) for both record and resource attrs."""
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_logs_request,
+        encode_export_logs_request,
+    )
+
+    rows = decode_export_logs_request(encode_export_logs_request(SAMPLE))
+    r0 = next(r for r in rows if r["severity_text"] == "INFO")
+    assert r0["attrs"] == {"k1": "v1", "k2": "v2"}
+    assert r0["res_attrs"] == {"host": "h0"}
+    r2 = next(r for r in rows if r["res_idx"] == 1)
+    assert r2["attrs"] == {"x": "1"} and r2["res_attrs"] == {}
+
+
+def test_pb_trace_event_link_values_roundtrip():
+    """Span events (name, time) and link ids decode as values, so a .pb
+    capture can feed wire_span_children directly (reference ER model,
+    docs/data_model.md:310-413)."""
+    from otel_arrow_adapter_spark.sources import (
+        decode_export_trace_request,
+        encode_export_trace_request,
+    )
+
+    rows = decode_export_trace_request(encode_export_trace_request(SPAN_SAMPLE))
+    r0 = next(r for r in rows if r["name"] == "GET /x")
+    assert [e["name"] for e in r0["events"]] == ["start", "end"]
+    assert r0["events"][0]["time_unix_nano"] == 1_700_000_000_000_001_000
+    assert r0["links"] == [
+        {"trace_id": "202122232425262728292a2b2c2d2e2f",
+         "span_id": "3132333435363738"}
+    ]
+    assert r0["attrs"] == {"http.method": "GET"}
+
+
+def test_pb_capture_feeds_span_star_schema(spark, tmp_path):
+    """End-to-end: .pb trace capture -> read_pb_spans -> explode events /
+    links into related records -> wire_span_children re-attaches them
+    (the decode-side J3 join over a REAL capture, not synthesized rows)."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_adapter_spark.operators.span_records import (
+        wire_span_children,
+    )
+    from otel_arrow_adapter_spark.sources import (
+        encode_export_trace_request,
+        read_pb_spans,
+    )
+
+    d = tmp_path / "star_captures"
+    d.mkdir()
+    (d / "a.pb").write_bytes(encode_export_trace_request(SPAN_SAMPLE))
+
+    spans = read_pb_spans(spark, str(d)).withColumns(
+        {"conv_id": F.col("trace_id"), "turn_idx": F.lit(0),
+         "span_hex": F.col("span_id")}
+    )
+    key = ["conv_id", "turn_idx", "span_hex"]
+    events = spans.select(*key, F.explode("events").alias("e")).select(
+        *key,
+        F.col("e.name").alias("event_name"),
+        (F.col("e.time_unix_nano") / 1000).cast("long").alias("event_ts_us"),
+    )
+    links = spans.select(*key, F.explode("links").alias("l")).select(
+        *key,
+        F.col("l.trace_id").alias("link_trace_hex"),
+        F.col("l.span_id").alias("link_span_hex"),
+    )
+    wired = wire_span_children(
+        spans.drop("events", "links", "n_events", "n_links"), events, links
+    )
+    w0 = next(r for r in wired.collect() if r["name"] == "GET /x")
+    assert w0["n_events"] == 2 and w0["n_links"] == 1
+    assert w0["last_event_ts_us"] - w0["first_event_ts_us"] == 3  # 3000 ns
+    w1 = next(r for r in wired.collect() if r["name"] == "child")
+    assert w1["n_events"] == 0 and w1["n_links"] == 0
+
+
 def test_pb_metrics_spark_reader(spark, tmp_path):
     from otel_arrow_adapter_spark.sources import (
         encode_export_metrics_request,
