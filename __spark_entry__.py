@@ -65,6 +65,22 @@ def _exp_hist_bucket_sql(max_buckets: int, scale: int) -> tuple[str, str]:
     )
     return pos, neg
 
+
+def _trim_exp_sql(col: str) -> tuple[str, str]:
+    """DuckDB (offset, trimmed-csv) expressions over a dense bucket list —
+    the oracle mirror of metrics_dp.trim_exp_buckets (both engines'
+    position function returns 0 when nothing matches)."""
+    nz = f"list_transform({col}, x -> x <> 0)"
+    first = f"list_position({nz}, true)"
+    last = f"(len({col}) - list_position(list_reverse({nz}), true) + 1)"
+    offset = f"CAST(CASE WHEN {first} = 0 THEN 0 ELSE {first} - 1 END AS INTEGER)"
+    trimmed = (
+        f"CASE WHEN {first} = 0 THEN '' "
+        f"ELSE array_to_string({col}[{first}:{last}], ',') END"
+    )
+    return offset, trimmed
+
+
 N_CATALOG_TOOLS = 6  # tool-6 exists in data but not in catalog -> quarantine
 
 # DuckDB prelude shared by all pipeline oracles: transcripts CTE + catalog.
@@ -476,7 +492,9 @@ def q_pipeline_metrics_exp_hist_dp(spark: SparkSession, sf_dir: str) -> DataFram
         "sum",
         "scale",
         "zero_count",
+        "positive_offset",
         F.array_join("positive_bucket_counts", ",").alias("positive_bucket_counts"),
+        "negative_offset",
         F.array_join("negative_bucket_counts", ",").alias("negative_bucket_counts"),
         "min",
         "max",
@@ -503,7 +521,9 @@ def q_pipeline_metrics_exp_hist_scale(spark: SparkSession, sf_dir: str) -> DataF
         "sum",
         "scale",
         "zero_count",
+        "positive_offset",
         F.array_join("positive_bucket_counts", ",").alias("positive_bucket_counts"),
+        "negative_offset",
         F.array_join("negative_bucket_counts", ",").alias("negative_bucket_counts"),
         "min",
         "max",
@@ -543,7 +563,9 @@ def q_pipeline_metrics_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataF
         "sum",
         "scale",
         "zero_count",
+        "positive_offset",
         F.array_join("positive_bucket_counts", ",").alias("positive_bucket_counts"),
+        "negative_offset",
         F.array_join("negative_bucket_counts", ",").alias("negative_bucket_counts"),
         "min",
         "max",
@@ -1699,30 +1721,27 @@ FROM pts GROUP BY 1, 2
     nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
   FROM classified WHERE signal_type = 'metric'
 )
-SELECT metric_name, metric_unit,
-  count(v) AS "count",
-  CAST(sum(v) AS BIGINT) AS "sum",
-  CAST(0 AS INTEGER) AS scale,
-  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
-  array_to_string(list_value(
-""" + ",\n".join(
-        [
-            f"    sum(CASE WHEN v >= {1 << i} AND v < {1 << (i + 1)} THEN 1 ELSE 0 END)::BIGINT"
-            for i in range(17)
-        ]
-        + ["    sum(CASE WHEN v >= 131072 THEN 1 ELSE 0 END)::BIGINT"]
-    ) + """), ',') AS positive_bucket_counts,
-  array_to_string(list_value(
-""" + ",\n".join(
-        [
-            f"    sum(CASE WHEN v <= {-(1 << i)} AND v > {-(1 << (i + 1))} THEN 1 ELSE 0 END)::BIGINT"
-            for i in range(17)
-        ]
-        + ["    sum(CASE WHEN v <= -131072 THEN 1 ELSE 0 END)::BIGINT"]
-    ) + """), ',') AS negative_bucket_counts,
-  CAST(min(v) AS BIGINT) AS "min",
-  CAST(max(v) AS BIGINT) AS "max"
-FROM pts GROUP BY 1, 2
+, eh AS (
+  SELECT metric_name, metric_unit,
+    count(v) AS "count",
+    CAST(sum(v) AS BIGINT) AS "sum",
+    CAST(0 AS INTEGER) AS scale,
+    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+    list_value(
+""" + _exp_hist_bucket_sql(18, 0)[0] + """) AS pos_list,
+    list_value(
+""" + _exp_hist_bucket_sql(18, 0)[1] + """) AS neg_list,
+    CAST(min(v) AS BIGINT) AS "min",
+    CAST(max(v) AS BIGINT) AS "max"
+  FROM pts GROUP BY 1, 2
+)
+SELECT metric_name, metric_unit, "count", "sum", scale, zero_count,
+  """ + _trim_exp_sql("pos_list")[0] + """ AS positive_offset,
+  """ + _trim_exp_sql("pos_list")[1] + """ AS positive_bucket_counts,
+  """ + _trim_exp_sql("neg_list")[0] + """ AS negative_offset,
+  """ + _trim_exp_sql("neg_list")[1] + """ AS negative_bucket_counts,
+  "min", "max"
+FROM eh
 """,
     # scale-1 rollup: same shape, sqrt(2)-base buckets via exact integer
     # boundaries shared with the Spark side (exp2_lower_bound)
@@ -1733,18 +1752,27 @@ FROM pts GROUP BY 1, 2
     nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
   FROM classified WHERE signal_type = 'metric'
 )
-SELECT metric_name, metric_unit,
-  count(v) AS "count",
-  CAST(sum(v) AS BIGINT) AS "sum",
-  CAST(1 AS INTEGER) AS scale,
-  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
-  array_to_string(list_value(
-""" + _exp_hist_bucket_sql(36, 1)[0] + """), ',') AS positive_bucket_counts,
-  array_to_string(list_value(
-""" + _exp_hist_bucket_sql(36, 1)[1] + """), ',') AS negative_bucket_counts,
-  CAST(min(v) AS BIGINT) AS "min",
-  CAST(max(v) AS BIGINT) AS "max"
-FROM pts GROUP BY 1, 2
+, eh AS (
+  SELECT metric_name, metric_unit,
+    count(v) AS "count",
+    CAST(sum(v) AS BIGINT) AS "sum",
+    CAST(1 AS INTEGER) AS scale,
+    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+    list_value(
+""" + _exp_hist_bucket_sql(36, 1)[0] + """) AS pos_list,
+    list_value(
+""" + _exp_hist_bucket_sql(36, 1)[1] + """) AS neg_list,
+    CAST(min(v) AS BIGINT) AS "min",
+    CAST(max(v) AS BIGINT) AS "max"
+  FROM pts GROUP BY 1, 2
+)
+SELECT metric_name, metric_unit, "count", "sum", scale, zero_count,
+  """ + _trim_exp_sql("pos_list")[0] + """ AS positive_offset,
+  """ + _trim_exp_sql("pos_list")[1] + """ AS positive_bucket_counts,
+  """ + _trim_exp_sql("neg_list")[0] + """ AS negative_offset,
+  """ + _trim_exp_sql("neg_list")[1] + """ AS negative_bucket_counts,
+  "min", "max"
+FROM eh
 """,
     # heterogeneous-scale merge: the oracle is the DIRECT scale-0 rollup
     # over ALL points — equal iff the Spark downscale+merge is lossless
@@ -1755,18 +1783,27 @@ FROM pts GROUP BY 1, 2
     nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
   FROM classified WHERE signal_type = 'metric'
 )
-SELECT metric_name, metric_unit,
-  count(v) AS "count",
-  CAST(sum(v) AS BIGINT) AS "sum",
-  CAST(0 AS INTEGER) AS scale,
-  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
-  array_to_string(list_value(
-""" + _exp_hist_bucket_sql(18, 0)[0] + """), ',') AS positive_bucket_counts,
-  array_to_string(list_value(
-""" + _exp_hist_bucket_sql(18, 0)[1] + """), ',') AS negative_bucket_counts,
-  CAST(min(v) AS BIGINT) AS "min",
-  CAST(max(v) AS BIGINT) AS "max"
-FROM pts GROUP BY 1, 2
+, eh AS (
+  SELECT metric_name, metric_unit,
+    count(v) AS "count",
+    CAST(sum(v) AS BIGINT) AS "sum",
+    CAST(0 AS INTEGER) AS scale,
+    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+    list_value(
+""" + _exp_hist_bucket_sql(18, 0)[0] + """) AS pos_list,
+    list_value(
+""" + _exp_hist_bucket_sql(18, 0)[1] + """) AS neg_list,
+    CAST(min(v) AS BIGINT) AS "min",
+    CAST(max(v) AS BIGINT) AS "max"
+  FROM pts GROUP BY 1, 2
+)
+SELECT metric_name, metric_unit, "count", "sum", scale, zero_count,
+  """ + _trim_exp_sql("pos_list")[0] + """ AS positive_offset,
+  """ + _trim_exp_sql("pos_list")[1] + """ AS positive_bucket_counts,
+  """ + _trim_exp_sql("neg_list")[0] + """ AS negative_offset,
+  """ + _trim_exp_sql("neg_list")[1] + """ AS negative_bucket_counts,
+  "min", "max"
+FROM eh
 """,
     # .pb capture round-trip: oracle replays the severity rollup from the
     # transcripts directly — green iff pb encode∘decode == id per frame

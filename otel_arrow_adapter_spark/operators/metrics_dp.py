@@ -419,6 +419,7 @@ def exp_histogram_rollup(
     value_col: str = "metric_value",
     keys: tuple[str, ...] = ("metric_name", "metric_unit"),
     scale: int = 0,
+    trim: bool = True,
 ) -> DataFrame:
     """ExpHistogramDP rollup (ehistogram_dp.go:47-64 shape; int32 ``scale``
     field at ehistogram_dp.go:57,81) with the reference's NEGATIVE bucket
@@ -441,7 +442,17 @@ def exp_histogram_rollup(
 
     To cover the same value range as (max_buckets=B, scale=0), pass
     max_buckets=B*2^scale at the finer scale — then ``merge_exp_histograms``
-    can downscale it losslessly onto the coarser family."""
+    can downscale it losslessly onto the coarser family.
+
+    ``trim=True`` (default) emits the OTLP sparse-bucket transport shape
+    the reference carries on every ExpHistogramDP
+    (ehistogram_dp.go:58-62 — positive/negative DataPointBuckets with
+    ``offset``): positive_offset/negative_offset = first non-empty bucket
+    index, bucket arrays trimmed of leading AND trailing zeros. Real
+    producers emit sparse arrays at large offsets (ns latencies start
+    around index ~30 at scale 0), so without trimming the transport wastes
+    a count slot per empty leading bucket. ``trim=False`` keeps the dense
+    offset-0 arrays (index i = bucket [2^(i/2^s), ...))."""
     v = F.floor(F.col(value_col)).cast("long")
     pos, neg = [], []
     for i in range(max_buckets - 1):
@@ -451,18 +462,52 @@ def exp_histogram_rollup(
     top = exp2_lower_bound(max_buckets - 1, scale)
     pos.append(F.sum(F.when(v >= top, 1).otherwise(0)).cast("long"))
     neg.append(F.sum(F.when(v <= -top, 1).otherwise(0)).cast("long"))
-    return points.groupBy(*keys).agg(
+    dense = points.groupBy(*keys).agg(
         F.count(v).cast("long").alias("count"),
         F.sum(v).cast("long").alias("sum"),
         F.lit(scale).cast("int").alias("scale"),
         F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("zero_count"),
-        F.lit(0).cast("int").alias("positive_offset"),
-        F.array(*pos).alias("positive_bucket_counts"),
-        F.lit(0).cast("int").alias("negative_offset"),
-        F.array(*neg).alias("negative_bucket_counts"),
+        F.array(*pos).alias("_pos_dense"),
+        F.array(*neg).alias("_neg_dense"),
         F.min(v).cast("long").alias("min"),
         F.max(v).cast("long").alias("max"),
     )
+    if trim:
+        pos_off, pos_arr = trim_exp_buckets(F.col("_pos_dense"))
+        neg_off, neg_arr = trim_exp_buckets(F.col("_neg_dense"))
+    else:
+        pos_off, pos_arr = F.lit(0).cast("int"), F.col("_pos_dense")
+        neg_off, neg_arr = F.lit(0).cast("int"), F.col("_neg_dense")
+    return dense.select(
+        *keys,
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        pos_off.alias("positive_offset"),
+        pos_arr.alias("positive_bucket_counts"),
+        neg_off.alias("negative_offset"),
+        neg_arr.alias("negative_bucket_counts"),
+        "min",
+        "max",
+    )
+
+
+def trim_exp_buckets(counts: Column) -> tuple[Column, Column]:
+    """Dense offset-0 bucket array -> (offset, sparse array): offset =
+    0-based index of the first non-zero count, array trimmed of leading
+    and trailing zeros (all-zero -> offset 0 + empty array). Pure column
+    expressions; array_position returns 0 when nothing matches — the same
+    convention DuckDB's list_position uses, so the generated oracle SQL
+    mirrors this exactly."""
+    nz = F.transform(counts, lambda c: c != 0)
+    first = F.array_position(nz, F.lit(True))  # 1-based, 0 if all zero
+    last = F.size(nz) - F.array_position(F.reverse(nz), F.lit(True)) + 1
+    offset = F.when(first == 0, F.lit(0)).otherwise(first - 1).cast("int")
+    trimmed = F.when(
+        first == 0, F.array().cast("array<long>")
+    ).otherwise(F.slice(counts, first, last - first + 1))
+    return offset, trimmed
 
 
 def downscale_exp_buckets(counts: Column, factor: Column) -> Column:
@@ -493,58 +538,84 @@ def merge_exp_histograms(
     OTLP merge semantics: downscale the finer histogram until bases match,
     then add buckets).
 
-    Per group: target scale = min(scale); every row's bucket arrays are
-    downscaled by 2^(scale - target) (exact — coarse boundaries are a
-    subset of fine ones), then summed ELEMENT-WISE via posexplode to
-    (key, idx) grain + one map-side-combined groupBy — never a whole-array
-    reduce on the driver. Rows are assumed to cover the same value range
-    (max_buckets proportional to 2^scale, as exp_histogram_rollup
-    documents); scalar fields merge as sum/min/max. The min-scale
+    Per group: target scale = min(scale). Every bucket is addressed by its
+    ABSOLUTE index (row offset + array position), downscaled to the target
+    scale with an arithmetic right shift — floor((off+i)/2^(s-target)),
+    correct for NEGATIVE offsets too (values in (0,1) at positive scales,
+    or .pb captures whose producers emit them) — then summed at (key, idx)
+    grain via one map-side-combined groupBy; never a whole-array reduce on
+    the driver. The merged arrays are rebuilt sparse: group offset = first
+    non-empty coarse index, interior gaps zero-filled through a
+    map_from_entries lookup over sequence(min_idx, max_idx) — all JVM-side
+    column expressions. Offset alignment means rows need NOT cover the
+    same value range. Scalar fields merge as sum/min/max; the min-scale
     dimension join is broadcast (one row per key group)."""
     gmin = rollups.groupBy(*keys).agg(F.min("scale").alias("_target_scale"))
-    factor = F.expr("shiftleft(1, scale - _target_scale)")
-    j = (
-        rollups.join(F.broadcast(gmin), list(keys))
-        .withColumn("_pos", downscale_exp_buckets(F.col("positive_bucket_counts"), factor))
-        .withColumn("_neg", downscale_exp_buckets(F.col("negative_bucket_counts"), factor))
+    j = rollups.join(F.broadcast(gmin), list(keys)).withColumn(
+        "_shift", F.col("scale") - F.col("_target_scale")
     )
     scalars = j.groupBy(*keys).agg(
         F.sum("count").cast("long").alias("count"),
         F.sum("sum").cast("long").alias("sum"),
         F.min("scale").cast("int").alias("scale"),
         F.sum("zero_count").cast("long").alias("zero_count"),
-        F.lit(0).cast("int").alias("positive_offset"),
-        F.lit(0).cast("int").alias("negative_offset"),
         F.min("min").cast("long").alias("min"),
         F.max("max").cast("long").alias("max"),
     )
-    def _ewise(col: str, out: str) -> DataFrame:
-        return (
-            j.select(*keys, F.posexplode(col).alias("_idx", "_c"))
+
+    def _ewise(side: str) -> DataFrame:
+        # absolute fine index = offset + position; arithmetic shiftright =
+        # floor division by 2^shift (exact for negative indices, unlike
+        # integer '/' which truncates toward zero)
+        per_idx = (
+            j.select(
+                *keys,
+                "_shift",
+                F.coalesce(F.col(f"{side}_offset"), F.lit(0)).alias("_off"),
+                F.posexplode_outer(f"{side}_bucket_counts").alias("_i", "_c"),
+            )
+            .where(F.col("_c").isNotNull() & (F.col("_c") != 0))
+            .select(
+                *keys,
+                F.expr("shiftright(_off + _i, _shift)").alias("_idx"),
+                F.col("_c"),
+            )
             .groupBy(*keys, "_idx")
             .agg(F.sum("_c").alias("_c"))
-            .groupBy(*keys)
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_idx", "_c"))),
-                    lambda s: s["_c"],
-                ).alias(out)
-            )
         )
+        g = per_idx.groupBy(*keys).agg(
+            F.min("_idx").alias("_lo"),
+            F.max("_idx").alias("_hi"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_idx", "_c")))
+            ).alias("_m"),
+        )
+        # zero-fill interior gaps: look up each absolute index in the
+        # (idx -> count) map, 0 where absent
+        return g.select(
+            *keys,
+            F.col("_lo").cast("int").alias(f"{side}_offset"),
+            F.expr(
+                "transform(sequence(_lo, _hi), "
+                "i -> coalesce(try_element_at(_m, i), 0L))"
+            ).alias(f"{side}_bucket_counts"),
+        )
+
     out = (
-        scalars.join(_ewise("_pos", "positive_bucket_counts"), list(keys))
-        .join(_ewise("_neg", "negative_bucket_counts"), list(keys))
+        scalars.join(_ewise("positive"), list(keys), "left")
+        .join(_ewise("negative"), list(keys), "left")
     )
+    empty = F.array().cast("array<long>")
     return out.select(
         *keys,
         "count",
         "sum",
         "scale",
         "zero_count",
-        "positive_offset",
-        "positive_bucket_counts",
-        "negative_offset",
-        "negative_bucket_counts",
+        F.coalesce("positive_offset", F.lit(0)).alias("positive_offset"),
+        F.coalesce("positive_bucket_counts", empty).alias("positive_bucket_counts"),
+        F.coalesce("negative_offset", F.lit(0)).alias("negative_offset"),
+        F.coalesce("negative_bucket_counts", empty).alias("negative_bucket_counts"),
         "min",
         "max",
     )
