@@ -162,20 +162,29 @@ def jaccard_pairs(
     filter still applies after the aggregate (two candidate docs are not
     necessarily a candidate pair).
 
-    Cache ownership: the shingle and candidate caches (whether created here
-    or passed in) are released once the verified pairs materialize — the
-    caller keeps exactly one cache, the returned pairs."""
-    orig_sh = shingles  # caller's cache, if any — freed with the rest
+    Cache ownership: only caches THIS function creates are released when
+    the verified pairs materialize. Caller-supplied ``shingles`` /
+    ``candidates`` frames are never persisted or unpersisted here — a
+    caller sharing one shingle table across several calls keeps its cache
+    (cache the passed frames yourself; an uncached ``shingles`` with no
+    ``candidates`` is re-evaluated per use)."""
+    owned: list[DataFrame] = []
     sh = doc_shingles(docs, k) if shingles is None else shingles
+    sh_owned = shingles is None
     if candidates is not None:
-        candidates = candidates.persist()  # used 2x: doc-id set + pair filter
+        if not (candidates.storageLevel.useMemory or candidates.storageLevel.useDisk):
+            candidates = candidates.persist()  # used 2x: doc-id set + pair filter
+            owned.append(candidates)
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
             .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
         sh = sh.join(cand_docs, on="doc_id", how="left_semi")
-    sh = sh.persist()  # used 3x: both join sides + sizes
+        sh_owned = True  # the semi-joined frame is ours even if shingles wasn't
+    if sh_owned:
+        sh = sh.persist()  # used 3x: both join sides + sizes
+        owned.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -198,12 +207,7 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    freed = [sh]
-    if candidates is not None:
-        freed.append(candidates)
-    if orig_sh is not None and orig_sh is not sh:
-        freed.append(orig_sh)
-    return owned_result(out, *freed)
+    return owned_result(out, *owned)
 
 
 # ---------------------------------------------------------------------------

@@ -43,13 +43,17 @@ def write_versioned(df: DataFrame, out_dir: str, subdir: str = "versioned", stat
     as ``schema_updates_performed`` + ``stream_producers_created`` (the
     producer closes the old IPC stream and opens a new one on schema
     change, producer.go:337-366; counters at stats.go:30-40)."""
-    import os
-
     sid = canonical_schema_id(df)
     dest = f"{out_dir}/{subdir}/schema_id={sid}"
-    if stats is not None and not os.path.isdir(dest):
-        stats.inc("schema_updates_performed")
-        stats.inc("stream_producers_created")
+    if stats is not None:
+        # existence via the Hadoop FS resolved from the path's scheme, so
+        # URI out_dirs (file://, hdfs://, s3a://) count stream openings the
+        # same way bare local paths do
+        spark = df.sparkSession
+        p = spark._jvm.org.apache.hadoop.fs.Path(dest)
+        if not p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
+            stats.inc("schema_updates_performed")
+            stats.inc("stream_producers_created")
     (
         df.write.mode("append")
         .option("compression", "zstd")

@@ -179,12 +179,18 @@ def replay_quarantine(
     rewrites bucket-scoped quarantine partitions. Production target is one
     Iceberg ``DELETE FROM routed WHERE sink='quarantine'`` + append in a
     single transaction; the partition-dir delete is the parquet-layout
-    analog of that metadata operation."""
-    import glob as _glob
+    analog of that metadata operation. Partition deletes go through the
+    Hadoop FileSystem API resolved from ``out_dir``'s scheme — a file:// or
+    hdfs/s3a URI deletes the same partitions a bare local path does (a
+    local glob would silently match nothing on a URI, leaving the old
+    quarantine files in place and re-introducing row duplication)."""
     import re as _re
-    import shutil as _shutil
 
     from ..operators.route import restore_text
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
 
     routed = spark.read.parquet(f"{out_dir}/routed")
     bucketed = "bucket" in routed.columns
@@ -234,10 +240,13 @@ def replay_quarantine(
                 )
             # ...and delete the ones that fully recovered: their rows were
             # just appended to signal sinks, so the old files are duplicates
-            for d in _glob.glob(f"{out_dir}/routed/bucket=*/sink=quarantine"):
-                b = int(_re.search(r"bucket=(-?\d+)", d).group(1))
+            for st in fs.globStatus(
+                hpath(f"{out_dir}/routed/bucket=*/sink=quarantine")
+            ) or []:
+                d = st.getPath()
+                b = int(_re.search(r"bucket=(-?\d+)", d.toString()).group(1))
                 if b not in live:
-                    _shutil.rmtree(d, ignore_errors=True)
+                    fs.delete(d, True)
         else:
             n_rem = next(
                 (r["n_rows"] for r in counts.collect() if r["sink"] == "quarantine"), 0
@@ -245,7 +254,7 @@ def replay_quarantine(
             if n_rem > 0:
                 write_routed(remainder, out_dir, mode="overwrite", suppress_text=True)
             else:
-                _shutil.rmtree(f"{out_dir}/routed/sink=quarantine", ignore_errors=True)
+                fs.delete(hpath(f"{out_dir}/routed/sink=quarantine"), True)
         counts.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
             f"{out_dir}/replay_counts"
         )
