@@ -250,3 +250,48 @@ def dictionary_delta_stream(values: DataFrame, column: str, n_buckets: int = 16)
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dict_stream_stats_sink(stats, widths: tuple[int, ...] = (256, 65536, 1 << 32)):
+    """ProducerStats wiring for ``dictionary_delta_stream`` — the streaming
+    path now feeds the SAME counter surface the batch encoders do
+    (plans/stats.py; reference counters at
+    /root/reference/pkg/otel/stats/stats.go:26-61).
+
+    Returns a ``foreachBatch`` callable. Per micro-batch it increments
+    ``batches_produced`` and ``dictionary_entries_added`` (= first-seen
+    values this batch, the delta rows themselves), and derives each
+    bucket's dictionary INDEX TYPE from its max in-bucket code sequence
+    against the ``widths`` ladder (u8 -> u16 -> u32): a bucket crossing a
+    boundary counts ``dictionary_index_type_changed`` (stats.go:41), and a
+    bucket exceeding the widest type counts ``dictionary_overflow_detected``
+    (stats.go:42's overflow fallback signal). The per-batch aggregation is
+    one O(buckets) collect — control-plane, same discipline as the ledger."""
+
+    names = ["u8", "u16", "u32"][: len(widths)]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        per_bucket = (
+            batch_df.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.max(F.col("code").bitwiseAND(F.lit((1 << 32) - 1))).alias("max_seq"),
+            )
+            .collect()
+        )
+        if not per_bucket:
+            return
+        stats.inc("batches_produced")
+        for r in per_bucket:
+            stats.inc("dictionary_entries_added", r["n_new"])
+            # dictionary size after this batch = max_seq + 1 entries
+            size = r["max_seq"] + 1
+            itype = next(
+                (t for t, w in zip(names, widths) if size <= w), None
+            )
+            if itype is None:
+                stats.inc("dictionary_overflow_detected")
+                itype = names[-1]
+            stats.note_index_type(f"dict:bucket={r['bucket']}", itype)
+
+    return sink

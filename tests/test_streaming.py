@@ -100,6 +100,57 @@ def test_stream_dictionary_deltas(spark, transcripts, tmp_path):
     assert all((r.code >> 32) == r.bucket for r in rows)
 
 
+def test_stream_dictionary_delta_stats(spark, transcripts, tmp_path):
+    """A1 in the streaming path (VERDICT r4 next-round #7): the dictionary
+    delta stream feeds the same ProducerStats surface as the batch
+    encoders — entries added, batches produced, index-type widenings on a
+    (deliberately tiny) u8-analog ladder across multi-batch state."""
+    from otel_arrow_adapter_spark.plans.stats import ProducerStats
+    from otel_arrow_adapter_spark.streaming.stream import (
+        dict_stream_stats_sink,
+        dictionary_delta_stream,
+    )
+
+    src = str(tmp_path / "src_dds")
+    # stage the dictionary GROWTH across micro-batches: 2 tools, then 5,
+    # then 10 — the stream is started once and fed between drains, so each
+    # stage is its own micro-batch against accumulated state
+    stages = [
+        [f"tool-{i}" for i in range(2)],
+        [f"tool-{i}" for i in range(5)],
+        [f"tool-{i}" for i in range(10)],
+    ]
+    spark.createDataFrame([(t,) for t in stages[0]], "tool string").write.parquet(src)
+    stream = spark.readStream.schema("tool string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    deltas = dictionary_delta_stream(stream, "tool", n_buckets=2)
+    stats = ProducerStats()
+    # widths (2, 4): a bucket passing 2 then 4 entries widens twice —
+    # exercises the ladder without needing 256+ distinct values
+    q = (
+        deltas.writeStream.outputMode("append")
+        .foreachBatch(dict_stream_stats_sink(stats, widths=(2, 4)))
+        .start()
+    )
+    q.processAllAvailable()
+    for stage in stages[1:]:
+        spark.createDataFrame([(t,) for t in stage], "tool string").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    snap = stats.as_dict()
+    assert snap["dictionary_entries_added"] == 10  # each tool counted once
+    assert snap["batches_produced"] >= 2
+    # 10 tools over 2 buckets with a (2, 4) ladder: buckets cross the
+    # u8-analog boundary between batches -> widening; and exceed the
+    # widest type -> overflow detected
+    assert snap.get("dictionary_index_type_changed", 0) >= 1
+    assert snap.get("dictionary_overflow_detected", 0) >= 1
+
+
 def test_stream_paced_replay(spark, tmp_path):
     """replay_timer.go analog: rows re-emit in original-timestamp order at
     ~1 tick/wall-second (speed-scaled), never all at once. With offsets
