@@ -91,6 +91,16 @@ SORT_STRATEGIES = {
     # vary ONLY the traces keys vs `default` so the measured bytes isolate
     # the span-sorter choice — traceID-first (the conversation-parent is
     # the trace grouping here) and startTimestamp-first families.
+    #
+    # DECISION (r5, on the r4 measured table): span_trace_first is the
+    # bytes-optimal strategy — 373.7 MB vs default 384.3 MB vs
+    # shared_native 388.4 MB on the same 17.8M-row verbatim write — but it
+    # keeps the per-sink CASE comparator, which the same rig measured at
+    # 26.5s vs 19.6s for shared_native's bare-column sort (+35% write
+    # wall). The pipeline stays throughput-first: shared_native remains
+    # the shipped default (a 3.8% byte premium for 26% faster writes);
+    # byte-dominated deployments (cold archival, egress-priced object
+    # stores) should pass sort_strategy="span_trace_first" explicitly.
     "span_trace_first": {
         "logs": ["res_id", "scope_id", "severity_text", "conv_id", "turn_idx"],
         "metrics": ["res_id", "scope_id", "metric_name", "conv_id", "turn_idx"],
