@@ -1298,6 +1298,99 @@ def q_pipeline_pb_capture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_pipeline_pb_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 metrics fidelity, oracle-gated (VERDICT r4 next-round #4 done
+    criterion): metric-classified turns -> exp-histogram rollup WITH sparse
+    bucket offsets -> OTLP .pb capture (ExponentialHistogramDataPoint:
+    zigzag scale, zero_count, offset-bearing positive/negative buckets,
+    one attribute per DP) -> read_pb_metrics wire decode -> the decoded
+    fields themselves. The oracle computes the same rollup straight from
+    the transcripts in SQL, so equality holds iff pb encode∘decode == id
+    on every exp-hist field INCLUDING offsets and the attr count — the
+    r4 ADVICE failure (exp-hist DPs decoded with the NumberDP layout)
+    would turn every row into garbage here."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+    from otel_arrow_adapter_spark.sources.otlp_pb import (
+        encode_export_metrics_request,
+        read_pb_metrics,
+    )
+
+    pts = _metric_points(spark, sf_dir).withColumn(
+        "value_delta", F.col("metric_value") - F.lit(1000)
+    )
+    eh = exp_histogram_rollup(pts, max_buckets=18, value_col="value_delta").select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        F.array_join("positive_bucket_counts", ",").alias("pos_csv"),
+        "negative_offset",
+        F.array_join("negative_bucket_counts", ",").alias("neg_csv"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oaas_pb_mcapture_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_pb(batches):
+        import os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        recs = []
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                recs.append(
+                    {
+                        "res_idx": 0,
+                        "metric_name": r["metric_name"],
+                        "metric_unit": r["metric_unit"],
+                        "metric_type": "exponential_histogram",
+                        "time_unix_nano": 1_700_000_000_000_000_000,
+                        "count": int(r["count"]),
+                        "sum": float(r["sum"]),
+                        "scale": int(r["scale"]),
+                        "zero_count": int(r["zero_count"]),
+                        "positive_offset": int(r["positive_offset"]),
+                        "positive_bucket_counts": r["pos_csv"] or None,
+                        "negative_offset": int(r["negative_offset"]),
+                        "negative_bucket_counts": r["neg_csv"] or None,
+                        "attrs": {"unit": r["metric_unit"] or ""},
+                    }
+                )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            with open(os.path.join(out, f"part-{pid:05d}.pb"), "wb") as f:
+                f.write(encode_export_metrics_request(recs))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    eh.mapInPandas(write_pb, "n long").agg(F.sum("n")).collect()  # write action
+    decoded = read_pb_metrics(spark, out)
+    return decoded.where(F.col("res_idx") >= 0).select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        F.col("sum").cast("double").alias("sum"),
+        "scale",
+        "zero_count",
+        "positive_offset",
+        F.coalesce("positive_bucket_counts", F.lit("")).alias("positive_bucket_counts"),
+        "negative_offset",
+        F.coalesce("negative_bucket_counts", F.lit("")).alias("negative_bucket_counts"),
+        "n_attrs",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via mapInPandas (decode STUBBED with a
     deterministic payload-hash fake — real PIL/ffmpeg swap-in point). The
@@ -1348,6 +1441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_metrics_exp_hist_scale": q_pipeline_metrics_exp_hist_scale,
     "pipeline_metrics_exp_hist_merge": q_pipeline_metrics_exp_hist_merge,
     "pipeline_pb_capture_roundtrip": q_pipeline_pb_capture_roundtrip,
+    "pipeline_pb_metrics_roundtrip": q_pipeline_pb_metrics_roundtrip,
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -1382,8 +1476,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_count": q_doc_token_count,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
-    "doc_quality": q_doc_quality,
     # -- unsampled tail: r4-driver-green, code paths untouched in r5 --
+    "doc_quality": q_doc_quality,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ivf_assign": q_emb_ivf_assign,
     "emb_ann_pairs": q_emb_ann_pairs,
@@ -1829,6 +1923,37 @@ SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
     WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END) AS INT) AS max_sev
 FROM classified WHERE signal_type = 'log'
 GROUP BY 1
+""",
+    # .pb metrics round-trip: the oracle computes the exp-hist rollup (with
+    # trimmed offsets) straight from the transcripts — green iff the pb
+    # ExponentialHistogramDataPoint encode∘decode == id on every field
+    "pipeline_pb_metrics_roundtrip": _CTE + """
+, pts AS (
+  SELECT nullif(regexp_extract(text, '^name=([a-z_]+)', 1), '') AS metric_name,
+    CAST(nullif(regexp_extract(text, ' value=(-?[0-9]+)', 1), '') AS BIGINT) - 1000 AS v,
+    nullif(regexp_extract(text, ' unit=([a-z%]+)', 1), '') AS metric_unit
+  FROM classified WHERE signal_type = 'metric'
+)
+, eh AS (
+  SELECT metric_name, metric_unit,
+    count(v) AS "count",
+    CAST(sum(v) AS BIGINT) AS sum_raw,
+    CAST(0 AS INTEGER) AS scale,
+    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+    list_value(
+""" + _exp_hist_bucket_sql(18, 0)[0] + """) AS pos_list,
+    list_value(
+""" + _exp_hist_bucket_sql(18, 0)[1] + """) AS neg_list
+  FROM pts GROUP BY 1, 2
+)
+SELECT metric_name, metric_unit, "count",
+  CAST(sum_raw AS DOUBLE) AS "sum", scale, zero_count,
+  """ + _trim_exp_sql("pos_list")[0] + """ AS positive_offset,
+  """ + _trim_exp_sql("pos_list")[1] + """ AS positive_bucket_counts,
+  """ + _trim_exp_sql("neg_list")[0] + """ AS negative_offset,
+  """ + _trim_exp_sql("neg_list")[1] + """ AS negative_bucket_counts,
+  CAST(1 AS INTEGER) AS n_attrs
+FROM eh
 """,
     "pipeline_metrics_temporality": _CTE + """
 , pts AS (
