@@ -1391,6 +1391,130 @@ def q_pipeline_pb_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_pipeline_pb_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 traces fidelity, oracle-gated: trace-classified turns -> span rows
+    with lifecycle events, a parent link and one attribute -> OTLP .pb
+    capture (distributed mapInPandas encoder, one ExportTraceServiceRequest
+    file per partition — real_traces_dataset.go family) -> read_pb_spans
+    wire decode -> a rollup computed from the DECODED event/link/attr
+    VALUES (not the reader's convenience counts). The oracle replays the
+    same rollup straight from the transcripts, so equality holds iff pb
+    encode∘decode == id on ids, kind, status, both timestamps, event
+    names+times, link trace/span ids and the attr value. Capture files are
+    partition-id-named (retry-idempotent) in a deterministic per-sf dir
+    cleared at query start, like the logs/metrics siblings."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from otel_arrow_adapter_spark.sources.otlp_pb import (
+        encode_export_trace_request,
+        read_pb_spans,
+    )
+
+    mod = 1_000_003
+    spans_in = (
+        _trace_points(spark, sf_dir)
+        .select(
+            "conv_id",
+            F.md5(F.col("conv_id")).alias("trace_hex"),
+            F.col("span_hex"),
+            F.when(
+                F.col("parent_hex").isNotNull(), F.lpad("parent_hex", 16, "0")
+            ).alias("parent16"),
+            F.concat(F.lit("op-"), F.col("conv_id")).alias("name"),
+            (F.col("turn_idx") % 4 + 1).cast("int").alias("kind"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("start_ns"),
+            F.col("dur_ms").cast("long").alias("dur_ms"),
+        )
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oaas_pb_tcapture_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_pb(batches):
+        import os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        recs = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            clean = pdf.astype(object).where(pdf.notna(), None)
+            for r in clean.to_dict("records"):
+                start_ns = int(r["start_ns"])
+                dur = None if r["dur_ms"] is None else int(r["dur_ms"])
+                events = [{"time_unix_nano": start_ns, "name": "span.start"}]
+                end_ns = None
+                status = None
+                if dur is not None:
+                    end_ns = start_ns + dur * 1_000_000
+                    events.append({"time_unix_nano": end_ns, "name": "span.end"})
+                    status = dur % 3
+                links = (
+                    []
+                    if r["parent16"] is None
+                    else [{"trace_id": r["trace_hex"], "span_id": r["parent16"]}]
+                )
+                recs.append(
+                    {
+                        "res_idx": 0,
+                        "trace_id": r["trace_hex"],
+                        "span_id": r["span_hex"],
+                        "parent_span_id": r["parent16"],
+                        "name": r["name"],
+                        "kind": int(r["kind"]),
+                        "start_time_unix_nano": start_ns,
+                        "end_time_unix_nano": end_ns,
+                        "status_code": status,
+                        "attrs": {"conv": r["conv_id"]},
+                        "events": events,
+                        "links": links,
+                    }
+                )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            with open(os.path.join(out, f"part-{pid:05d}.pb"), "wb") as f:
+                f.write(encode_export_trace_request(recs))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    spans_in.mapInPandas(write_pb, "n long").agg(F.sum("n")).collect()  # write action
+    dec = read_pb_spans(spark, out).where(F.col("res_idx") >= 0)
+    first_link = F.try_element_at("links", F.lit(1))
+    return dec.groupBy(F.col("kind").cast("int").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.size("events")).cast("long").alias("n_events"),
+        F.sum(
+            F.size(F.filter("events", lambda e: e["name"] == F.lit("span.end")))
+        ).cast("long").alias("n_end_events"),
+        F.sum(F.col("start_time_unix_nano") % mod).cast("long").alias("sum_start_mod"),
+        F.sum(
+            F.aggregate(
+                "events",
+                F.lit(0).cast("long"),
+                lambda a, e: a + e["time_unix_nano"] % mod,
+            )
+        ).cast("long").alias("sum_event_ts_mod"),
+        F.sum(F.coalesce(F.col("status_code"), F.lit(0))).cast("long").alias("sum_status"),
+        F.sum(F.size("links")).cast("long").alias("n_links"),
+        F.countDistinct(first_link["trace_id"]).alias("n_link_traces"),
+        F.max(first_link["span_id"]).alias("max_link_span"),
+        F.max("name").alias("max_name"),
+        F.sum(
+            F.when(
+                F.try_element_at("attrs", F.lit("conv"))
+                == F.regexp_replace("name", "^op-", ""),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_attr_conv_match"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via mapInPandas (decode STUBBED with a
     deterministic payload-hash fake — real PIL/ffmpeg swap-in point). The
@@ -1422,6 +1546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed this round stay inside the sample, (c) the unsampled tail is
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
+    # -- NEW in r5, never driver-gated: first --
+    "pipeline_pb_traces_roundtrip": q_pipeline_pb_traces_roundtrip,
     # -- outside the r4 sample (driver-green r3) --
     "pipeline_parse_logs": q_pipeline_parse_logs,
     "pipeline_parse_logs_arrow": q_pipeline_parse_logs_arrow,
@@ -1954,6 +2080,38 @@ SELECT metric_name, metric_unit, "count",
   """ + _trim_exp_sql("neg_list")[1] + """ AS negative_bucket_counts,
   CAST(1 AS INTEGER) AS n_attrs
 FROM eh
+""",
+    # Replays the trace->pb->decode rollup from the transcripts directly:
+    # equality iff encode∘decode == id on ids/kind/status/timestamps/event
+    # names+times/link ids/attr values (the modular sums keep every
+    # checksum integer-exact on both engines, like the logs sibling)
+    "pipeline_pb_traces_roundtrip": _CTE + """
+, tr AS (
+  SELECT conv_id,
+    CAST(turn_idx % 4 + 1 AS INTEGER) AS kind,
+    nullif(regexp_extract(text, ' parent=([0-9a-f]{8})', 1), '') AS parent_hex,
+    CAST(nullif(regexp_extract(text, ' dur_ms=([0-9]+)', 1), '') AS BIGINT) AS dur_ms,
+    epoch_us(ts) * 1000 AS start_ns
+  FROM classified WHERE signal_type = 'trace'
+), sp AS (
+  SELECT conv_id, kind, parent_hex, dur_ms, start_ns,
+    CASE WHEN dur_ms IS NOT NULL
+         THEN start_ns + dur_ms * 1000000 END AS end_ns
+  FROM tr
+)
+SELECT kind,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN dur_ms IS NOT NULL THEN 2 ELSE 1 END) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN dur_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_end_events,
+  CAST(sum(start_ns % 1000003) AS BIGINT) AS sum_start_mod,
+  CAST(sum(start_ns % 1000003 + COALESCE(end_ns % 1000003, 0)) AS BIGINT) AS sum_event_ts_mod,
+  CAST(sum(COALESCE(dur_ms % 3, 0)) AS BIGINT) AS sum_status,
+  CAST(sum(CASE WHEN parent_hex IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT CASE WHEN parent_hex IS NOT NULL THEN md5(conv_id) END) AS BIGINT) AS n_link_traces,
+  MAX(lpad(parent_hex, 16, '0')) AS max_link_span,
+  MAX('op-' || conv_id) AS max_name,
+  CAST(count(*) AS BIGINT) AS n_attr_conv_match
+FROM sp GROUP BY 1
 """,
     "pipeline_metrics_temporality": _CTE + """
 , pts AS (
