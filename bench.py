@@ -48,6 +48,7 @@ REPEATS = int(os.environ.get("OAAS_BENCH_REPEATS", "4"))
 SCALE_N = int(os.environ.get("OAAS_BENCH_SCALE_N", "2"))
 QUERY_REPEATS = int(os.environ.get("OAAS_BENCH_QUERY_REPEATS", "2"))
 SCALE_PAIRS = int(os.environ.get("OAAS_BENCH_SCALE_PAIRS", "3"))
+SCALE_PAIRS_MAX = int(os.environ.get("OAAS_BENCH_SCALE_PAIRS_MAX", "6"))
 PROBE_GATE = float(os.environ.get("OAAS_BENCH_PROBE_GATE", "0.9"))
 
 _CHILD = r"""
@@ -290,6 +291,34 @@ def multivariate_compression(spark, work: str) -> dict[str, float]:
     }
 
 
+def resolve_scale_efficiency(pair_runs: list[dict], factor: int = 4) -> dict:
+    """Pure aggregation of the paired scaling protocol (unit-tested in
+    tests/test_bench_protocol.py). Given per-pair records
+    {t_n, t_4n, pair_efficiency, eligible}, returns the headline efficiency
+    = max(best eligible paired ratio, ratio of per-config minima). Both
+    estimators target the drift-free ratio; each is robust to a different
+    noise shape (paired: slow drift; minima: isolated spikes — a burst can
+    only make a run SLOWER, so per-config min rejects it). When every pair
+    is probe-disqualified, the minima estimator alone is the headline: a
+    disqualified pair's ratio can be inflated ABOVE truth (a burst that
+    slows the N run makes the engine look superlinear — an all-dirty r5
+    run read 1.209 that way while minima honestly read 0.976), and a
+    too-good number from a window the probe rejected is exactly the kind
+    of evidence this protocol exists to refuse."""
+    eligible = [p for p in pair_runs if p["eligible"]]
+    best_paired = max((p["pair_efficiency"] for p in eligible), default=None)
+    t_n = min(p["t_n"] for p in pair_runs)
+    t_4n = min(p["t_4n"] for p in pair_runs)
+    eff_minima = round((t_n / t_4n) / factor, 3)
+    return {
+        "efficiency": eff_minima if best_paired is None else max(best_paired, eff_minima),
+        "best_paired": best_paired,
+        "eff_minima": eff_minima,
+        "t_n": t_n,
+        "t_4n": t_4n,
+    }
+
+
 def main() -> None:
     from otel_arrow_adapter_spark.session import get_spark
     from otel_arrow_adapter_spark.datagen import synthesize_transcripts
@@ -353,9 +382,17 @@ def main() -> None:
     # WORSE of the two: the r5 shake-out showed a probe run only after the
     # pair can read clean while a neighbor-VM burst hit mid-pair (pair
     # measured 0.54 with an after-probe of 0.94)
+    # ADAPTIVE pair count: if after the K planned pairs NO pair was
+    # probe-eligible (the whole session landed in a contended stretch —
+    # one r5 run saw probes 0.71-0.90 and steal 0.195 for an hour), keep
+    # running pairs up to SCALE_PAIRS_MAX until one clean window appears.
+    # The stopping rule depends ONLY on the host probe (exogenous), never
+    # on the measured ratio — so this waits for a MEASURABLE window, it
+    # does not select a flattering number.
     pair_runs: list[dict] = []
     probe_prev: float | None = None
-    for i in range(SCALE_PAIRS):
+    i = 0
+    while True:
 
         def _probe_now() -> float:
             u = cpu_probe(scale_n, scale_4n)
@@ -386,16 +423,16 @@ def main() -> None:
                 "eligible": probe_i >= PROBE_GATE,
             }
         )
-    eligible = [p for p in pair_runs if p["eligible"]] or pair_runs
-    best_paired = max(p["pair_efficiency"] for p in eligible)
-    t_n = min(p["t_n"] for p in pair_runs)
-    t_4n = min(p["t_4n"] for p in pair_runs)
-    eff_minima = round((t_n / t_4n) / 4, 3)
-    # Both estimators target the drift-free ratio; each is robust to a
-    # different noise shape (paired: slow drift; minima: isolated spikes).
-    # Headline = the better-supported of the two, per the min-of-N
-    # "capability, not weather" discipline used everywhere else in this file.
-    efficiency = max(best_paired, eff_minima)
+        i += 1
+        if i >= SCALE_PAIRS and (
+            any(p["eligible"] for p in pair_runs) or i >= SCALE_PAIRS_MAX
+        ):
+            break
+    resolved = resolve_scale_efficiency(pair_runs, factor=scale_4n // scale_n)
+    best_paired = resolved["best_paired"]
+    t_n, t_4n = resolved["t_n"], resolved["t_4n"]
+    eff_minima = resolved["eff_minima"]
+    efficiency = resolved["efficiency"]
     # probe BOTH pairs live: (N, 4N) and the driver's configured (8, 32)
     units = cpu_probe(*sorted({scale_n, scale_4n, 8, CPUS}))
     probe_n4n = round(units[scale_4n] / units[scale_n] / (scale_4n / scale_n), 3)
@@ -426,9 +463,12 @@ def main() -> None:
         "throughput_4n_turns_per_sec": round(tp_4n, 1),
         "scaling_efficiency": round(efficiency, 3),
         "scale_protocol": (
-            f"{SCALE_PAIRS}_interleaved_fresh_jvm_pairs_alternating_order;"
+            f"{len(pair_runs)}_of_{SCALE_PAIRS}-{SCALE_PAIRS_MAX}_adaptive"
+            "_interleaved_fresh_jvm_pairs_alternating_order;"
             f"per_pair_bracketed_probe_gate>={PROBE_GATE};"
-            "efficiency=max(best_eligible_paired_ratio,ratio_of_per_config_minima)"
+            "extra_pairs_while_none_eligible;"
+            "efficiency=max(best_eligible_paired_ratio,ratio_of_per_config_minima);"
+            "no_eligible_pair->minima_only"
         ),
         "scale_pairs": pair_runs,
         "scaling_efficiency_best_paired": best_paired,
@@ -456,7 +496,8 @@ def main() -> None:
             f"| local[{CPUS}] (full fleet) | {t_full:.1f} | {tp_full:,.0f} |\n\n"
             f"**Scaling efficiency (N={scale_n} -> 4N={scale_4n}): {efficiency:.3f}**"
             " (target >= 0.8)\n\n"
-            f"### Paired-run protocol ({SCALE_PAIRS} fresh-JVM pairs)\n\n"
+            f"### Paired-run protocol ({len(pair_runs)} fresh-JVM pairs,"
+            f" adaptive {SCALE_PAIRS}-{SCALE_PAIRS_MAX})\n\n"
             "A single timed pair admits host-drift swings of +-0.15 in the\n"
             "ratio on this shared VM (r4: one run read 0.791 while three\n"
             "same-code runs read 0.907-0.944). Protocol: K interleaved\n"
@@ -468,7 +509,16 @@ def main() -> None:
             "in that window (no engine can evidence scaling the host can't\n"
             "deliver). Headline = max(best eligible paired ratio, ratio of\n"
             "per-config minima) — both estimate the drift-free ratio; paired\n"
-            "cancels slow drift, minima rejects isolated spikes.\n\n"
+            "cancels slow drift, minima rejects isolated spikes. With NO\n"
+            "eligible pair the minima ratio alone is the headline: a\n"
+            "disqualified pair's ratio can read ABOVE truth (a burst that\n"
+            "slows the N run fakes superlinear scaling), and a too-good\n"
+            "number from a rejected window is refused like a too-bad one.\n"
+            f"Pair count is ADAPTIVE ({SCALE_PAIRS} planned, up to\n"
+            f"{SCALE_PAIRS_MAX}): while no pair is probe-eligible, extra\n"
+            "pairs run — the stopping rule reads only the host probe\n"
+            "(exogenous), never the measured ratio, so it waits for a\n"
+            "measurable window rather than selecting a flattering number.\n\n"
             "| pair | t_N sec | t_4N sec | paired eff | probe pre | probe post | eligible |\n"
             "|---|---|---|---|---|---|---|\n"
             + "".join(
@@ -477,8 +527,13 @@ def main() -> None:
                 f" | {'yes' if p['eligible'] else 'NO'} |\n"
                 for i, p in enumerate(pair_runs)
             )
-            + f"\n- best eligible paired ratio: **{best_paired:.3f}**\n"
-            f"- ratio of per-config minima: **{eff_minima:.3f}**\n\n"
+            + (
+                f"\n- best eligible paired ratio: **{best_paired:.3f}**\n"
+                if best_paired is not None
+                else "\n- best eligible paired ratio: **n/a** (every pair"
+                " probe-disqualified; headline = minima)\n"
+            )
+            + f"- ratio of per-config minima: **{eff_minima:.3f}**\n\n"
             "## Write configurations (throughput vs stored bytes, measured trade)\n\n"
             "Payload-level text suppression (store raw text only where typed\n"
             "columns can't rebuild it) is a write_routed flag; the pipeline\n"
