@@ -901,6 +901,46 @@ sh AS (
 )"""
 
 
+# MinHash-LSH candidates -> exact-Jaccard-verified pairs, DuckDB CTE chain
+# shared by the pair query and the connected-components cluster oracle
+_JACCARD_CTES = """,
+sig AS (
+  SELECT doc_id,
+    min(substr(md5('0:' || shingle), 1, 8)) AS s0, min(substr(md5('0:' || shingle), 9, 8)) AS s1,
+    min(substr(md5('0:' || shingle), 17, 8)) AS s2, min(substr(md5('0:' || shingle), 25, 8)) AS s3,
+    min(substr(md5('1:' || shingle), 1, 8)) AS s4, min(substr(md5('1:' || shingle), 9, 8)) AS s5,
+    min(substr(md5('1:' || shingle), 17, 8)) AS s6, min(substr(md5('1:' || shingle), 25, 8)) AS s7
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', s0, s1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', s2, s3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', s4, s5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', s6, s7)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+    round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+)"""
+
+
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish pre-tokenizer count (letter runs /
     digit runs / single punctuation — the LLM-token estimate) + chars."""
@@ -976,6 +1016,33 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.unpersist()
     cand.unpersist()
     return pairs
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup resolution chain: MinHash-LSH candidates -> exact
+    Jaccard verify -> CONNECTED COMPONENTS over the verified pairs
+    (iterative min-label propagation) -> one cluster id + kept
+    representative per doc. Pair finders alone can't drive keep-one-copy:
+    A~B and B~C must collapse to one kept doc even when A~C was never
+    emitted. Oracle: DuckDB recursive CTE computing min reachable doc_id
+    over the symmetric edge closure."""
+    from otel_arrow_adapter_spark.functions.dedup import (
+        doc_shingles,
+        dup_clusters,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    dp = _docs_plus(spark, sf_dir)
+    sh = doc_shingles(dp).persist()
+    cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
+    pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
+    sh.unpersist()
+    cand.unpersist()
+    out = dup_clusters(pairs)
+    pairs.unpersist()
+    return out
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,7 +1373,8 @@ def q_pipeline_pb_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     one attribute per DP) -> read_pb_metrics wire decode -> the decoded
     fields themselves. The oracle computes the same rollup straight from
     the transcripts in SQL, so equality holds iff pb encode∘decode == id
-    on every exp-hist field INCLUDING offsets and the attr count — the
+    on every exp-hist field INCLUDING offsets and the attr VALUE (the
+    reader surfaces DP attr key/values as a map, not just a count) — the
     r4 ADVICE failure (exp-hist DPs decoded with the NumberDP layout)
     would turn every row into garbage here."""
     import hashlib
@@ -1388,6 +1456,7 @@ def q_pipeline_pb_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "negative_offset",
         F.coalesce("negative_bucket_counts", F.lit("")).alias("negative_bucket_counts"),
         "n_attrs",
+        F.col("attrs")["unit"].alias("attr_unit"),
     )
 
 
@@ -1571,6 +1640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_dup_clusters": q_doc_dup_clusters,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
     # -- the rest --
@@ -2078,7 +2148,8 @@ SELECT metric_name, metric_unit, "count",
   """ + _trim_exp_sql("pos_list")[1] + """ AS positive_bucket_counts,
   """ + _trim_exp_sql("neg_list")[0] + """ AS negative_offset,
   """ + _trim_exp_sql("neg_list")[1] + """ AS negative_bucket_counts,
-  CAST(1 AS INTEGER) AS n_attrs
+  CAST(1 AS INTEGER) AS n_attrs,
+  coalesce(metric_unit, '') AS attr_unit
 FROM eh
 """,
     # Replays the trace->pb->decode rollup from the transcripts directly:
@@ -2478,40 +2549,26 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
 """,
-    "doc_jaccard_pairs": _SHINGLES_SQL + """,
-sig AS (
-  SELECT doc_id,
-    min(substr(md5('0:' || shingle), 1, 8)) AS s0, min(substr(md5('0:' || shingle), 9, 8)) AS s1,
-    min(substr(md5('0:' || shingle), 17, 8)) AS s2, min(substr(md5('0:' || shingle), 25, 8)) AS s3,
-    min(substr(md5('1:' || shingle), 1, 8)) AS s4, min(substr(md5('1:' || shingle), 9, 8)) AS s5,
-    min(substr(md5('1:' || shingle), 17, 8)) AS s6, min(substr(md5('1:' || shingle), 25, 8)) AS s7
-  FROM sh GROUP BY doc_id
+    "doc_jaccard_pairs": _SHINGLES_SQL + _JACCARD_CTES + """
+SELECT doc_a, doc_b, jaccard FROM pairs
+""",
+    "doc_dup_clusters": _SHINGLES_SQL.replace("WITH docs_plus", "WITH RECURSIVE docs_plus", 1)
+    + _JACCARD_CTES + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
 ),
-banded AS (
-  SELECT doc_id, 0 AS band, md5(concat_ws('|', s0, s1)) AS bucket FROM sig
-  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', s2, s3)) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', s4, s5)) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', s6, s7)) FROM sig
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b USING (band, bucket)
-  WHERE a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b USING (shingle)
-  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  c.doc_id = c.cluster_id AS is_rep
+FROM comp c JOIN csize s USING (cluster_id)
 """,
     "doc_simhash_near_dups": _DOCS_PLUS_SQL + """,
 toks AS (

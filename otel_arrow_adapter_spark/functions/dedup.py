@@ -210,6 +210,73 @@ def jaccard_pairs(
     return owned_result(out, *owned)
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    by iterative min-label propagation.
+
+    Pair finders (LSH/Jaccard/SimHash/exact) emit edges; the keep-one-copy
+    decision needs components — A~B and B~C must collapse to ONE kept doc
+    even when A~C was never emitted as a pair.  Output: one row per doc
+    appearing in >=1 pair — (doc_id, cluster_id, cluster_size, is_rep)
+    where cluster_id = min doc_id in the component (the kept representative,
+    matching the keep-first rule in exact dedup / clean_corpus).
+
+    Shape per round: one edges⋈labels join + one groupBy(dst).min —
+    both shuffle on doc_id, so AQE coalesces them into the same exchange
+    footprint; labels are persisted per round and the previous round's
+    cache released (resident state = 2 x one row per doc, same discipline
+    as kmeans_train).  Convergence = a count() of changed labels per round
+    (one cheap job), bounded by ``max_iters``.  Rounds needed = component
+    diameter: near-dup clusters are dense and shallow (a dup group is
+    near-clique), so 3-5 rounds in practice; for adversarially long chain
+    graphs the known upgrade is large-star/small-star path doubling
+    (O(log d)) — not worth its extra shuffles for dedup workloads.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).persist()
+    labels.count()
+    cached = labels  # the persisted handle (unpersist must hit it, not a select over it)
+    for _ in range(max_iters):
+        # min neighbor label per node, one hop
+        msgs = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        nxt = (
+            labels.join(msgs, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
+            )
+        ).persist()
+        changed = nxt.where(F.col("_chg")).count()
+        cached.unpersist()
+        cached = nxt
+        labels = nxt.select("doc_id", "label")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_rep"),
+        )
+    )
+    return owned_result(out, edges, cached)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — bit voting isn't columnar SQL)
 # ---------------------------------------------------------------------------

@@ -481,7 +481,8 @@ PB_METRIC_SCHEMA = (
     "bucket_counts string, explicit_bounds string, n_attrs int, "
     "scale int, zero_count long, positive_offset int, "
     "positive_bucket_counts string, negative_offset int, "
-    "negative_bucket_counts string, quantiles string"
+    "negative_bucket_counts string, quantiles string, "
+    "attrs map<string,string>"
 )
 
 _METRIC_TYPES = {5: "gauge", 7: "sum", 9: "histogram",
@@ -490,7 +491,7 @@ _METRIC_TYPES = {5: "gauge", 7: "sum", 9: "histogram",
 
 def _decode_number_dp(data: bytes, lo: int, hi: int) -> dict:
     dp = {"start_time_unix_nano": None, "time_unix_nano": None,
-          "value_double": None, "value_int": None, "n_attrs": 0}
+          "value_double": None, "value_int": None, "n_attrs": 0, "attrs": {}}
     for f, _, v in _iter_fields(data, lo, hi):
         if f == 2:
             dp["start_time_unix_nano"] = v
@@ -502,13 +503,16 @@ def _decode_number_dp(data: bytes, lo: int, hi: int) -> dict:
             dp["value_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
         elif f == 7:
             dp["n_attrs"] += 1
+            k, av = _decode_kv(data, v[0], v[1])
+            if k is not None:
+                dp["attrs"][k] = av
     return dp
 
 
 def _decode_hist_dp(data: bytes, lo: int, hi: int) -> dict:
     dp = {"start_time_unix_nano": None, "time_unix_nano": None,
           "count": None, "sum": None, "bucket_counts": None,
-          "explicit_bounds": None, "n_attrs": 0}
+          "explicit_bounds": None, "n_attrs": 0, "attrs": {}}
     for f, wt, v in _iter_fields(data, lo, hi):
         if f == 2:
             dp["start_time_unix_nano"] = v
@@ -526,6 +530,9 @@ def _decode_hist_dp(data: bytes, lo: int, hi: int) -> dict:
             dp["explicit_bounds"] = ",".join(repr(x) for x in vals)
         elif f == 9:
             dp["n_attrs"] += 1
+            k, av = _decode_kv(data, v[0], v[1])
+            if k is not None:
+                dp["attrs"][k] = av
     return dp
 
 
@@ -558,10 +565,13 @@ def _decode_exp_hist_dp(data: bytes, lo: int, hi: int) -> dict:
           "count": None, "sum": None, "scale": None, "zero_count": None,
           "positive_offset": None, "positive_bucket_counts": None,
           "negative_offset": None, "negative_bucket_counts": None,
-          "n_attrs": 0}
+          "n_attrs": 0, "attrs": {}}
     for f, _, v in _iter_fields(data, lo, hi):
         if f == 1:
             dp["n_attrs"] += 1
+            k, av = _decode_kv(data, v[0], v[1])
+            if k is not None:
+                dp["attrs"][k] = av
         elif f == 2:
             dp["start_time_unix_nano"] = v
         elif f == 3:
@@ -588,7 +598,8 @@ def _decode_summary_dp(data: bytes, lo: int, hi: int) -> dict:
     (ValueAtQuantile: quantile=1 double, value=2 double), attributes=7.
     Quantiles render as 'q:value' pairs (repr doubles, lossless)."""
     dp = {"start_time_unix_nano": None, "time_unix_nano": None,
-          "count": None, "sum": None, "quantiles": None, "n_attrs": 0}
+          "count": None, "sum": None, "quantiles": None, "n_attrs": 0,
+          "attrs": {}}
     qs: list[str] = []
     for f, _, v in _iter_fields(data, lo, hi):
         if f == 2:
@@ -609,6 +620,9 @@ def _decode_summary_dp(data: bytes, lo: int, hi: int) -> dict:
             qs.append(f"{q!r}:{qval!r}")
         elif f == 7:
             dp["n_attrs"] += 1
+            k, av = _decode_kv(data, v[0], v[1])
+            if k is not None:
+                dp["attrs"][k] = av
     if qs:
         dp["quantiles"] = ",".join(qs)
     return dp
@@ -675,6 +689,7 @@ def decode_export_metrics_request(data: bytes, path: str = "") -> list[dict]:
                             "negative_offset": None,
                             "negative_bucket_counts": None,
                             "quantiles": None,
+                            "attrs": {},
                         }
                         dp = _DP_DECODERS.get(mtype, _decode_number_dp)(
                             data, d_lo, d_hi
@@ -798,7 +813,7 @@ def read_pb_metrics(spark: SparkSession, path: str) -> DataFrame:
         "value_int", "count", "sum", "bucket_counts", "explicit_bounds",
         "n_attrs", "scale", "zero_count", "positive_offset",
         "positive_bucket_counts", "negative_offset",
-        "negative_bucket_counts", "quantiles",
+        "negative_bucket_counts", "quantiles", "attrs",
     ]
 
     def decode(batches):
@@ -810,7 +825,8 @@ def read_pb_metrics(spark: SparkSession, path: str) -> DataFrame:
                 except Exception as e:  # noqa: BLE001 — quarantine, don't crash
                     rows.append(
                         {"path": path_, "res_idx": -1,
-                         "metric_name": f"__decode_error__: {e}", "n_attrs": 0}
+                         "metric_name": f"__decode_error__: {e}", "n_attrs": 0,
+                         "attrs": {}}
                     )
             yield pd.DataFrame(rows, columns=cols)
 

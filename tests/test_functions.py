@@ -427,6 +427,29 @@ def test_bpe_token_count_classes(spark):
     assert rows == {1: 4, 2: 5, 3: 0, 4: 0}
 
 
+def test_dup_clusters_transitive_closure(spark):
+    """Connected components over pairs: a chain a-b, b-c, c-d collapses to
+    ONE cluster labeled by its min doc_id even though a-c, a-d, b-d were
+    never emitted as pairs; disjoint components stay separate; every
+    cluster has exactly one representative (the min id)."""
+    from otel_arrow_adapter_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r.doc_id: r for r in dup_clusters(pairs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 10, 11, 20, 21}
+    assert {rows[i].cluster_id for i in (1, 2, 3, 4)} == {1}
+    assert {rows[i].cluster_id for i in (10, 11)} == {10}
+    assert {rows[i].cluster_id for i in (20, 21)} == {20}
+    assert all(rows[i].cluster_size == 4 for i in (1, 2, 3, 4))
+    assert rows[10].cluster_size == 2
+    assert sorted(i for i in rows if rows[i].is_rep) == sorted(
+        {r.cluster_id for r in rows.values()}
+    )
+
+
 def test_no_lingering_caches_after_queries(spark):
     """Cache-lifecycle contract (caching.owned_result): every query whose
     plan persists intermediates frees them once its result materializes —
@@ -439,6 +462,7 @@ def test_no_lingering_caches_after_queries(spark):
     for name in [
         "doc_lsh_candidates",
         "doc_jaccard_pairs",
+        "doc_dup_clusters",
         "doc_simhash_near_dups",
         "emb_kmeans_centroids",
         "emb_ivf_search_trained",

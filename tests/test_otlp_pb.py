@@ -284,6 +284,7 @@ def test_pb_metrics_roundtrip_pure_python():
     g = next(r for r in rows if r["metric_name"] == "cpu_pct")
     assert g["metric_type"] == "gauge" and g["metric_unit"] == "%"
     assert g["value_double"] == 0.93 and g["n_attrs"] == 1
+    assert g["attrs"] == {"core": "0"}
     s = next(r for r in rows if r["metric_name"] == "requests")
     assert s["metric_type"] == "sum" and s["temporality"] == 2
     assert s["is_monotonic"] is True and s["value_int"] == 12345
@@ -292,6 +293,7 @@ def test_pb_metrics_roundtrip_pure_python():
     assert h["metric_type"] == "histogram" and h["temporality"] == 1
     assert h["count"] == 10 and h["sum"] == 123.5
     assert h["bucket_counts"] == "1,4,5"
+    assert h["attrs"] == {"route": "/x"}
     assert [float(x) for x in h["explicit_bounds"].split(",")] == [10.0, 100.0]
     assert h["res_idx"] != g["res_idx"]
 
@@ -341,12 +343,13 @@ def test_pb_exp_hist_and_summary_roundtrip():
     assert e["negative_offset"] == -2
     assert e["negative_bucket_counts"] == "2"
     assert e["temporality"] == 2 and e["n_attrs"] == 1
+    assert e["attrs"] == {"svc": "a"}
     # NumberDP fields stay clean — no field-layout bleed-through
     assert e["value_double"] is None and e["value_int"] is None
     s = next(r for r in rows if r["metric_type"] == "summary")
     assert s["count"] == 100 and s["sum"] == 5000.0
     assert s["quantiles"] == "0.5:12.0,0.99:130.5"
-    assert s["n_attrs"] == 1
+    assert s["n_attrs"] == 1 and s["attrs"] == {"svc": "b"}
     assert s["value_double"] is None and s["value_int"] is None
 
 
@@ -386,6 +389,10 @@ def test_pb_summary_does_not_quarantine_file(spark, tmp_path):
     }
     e = next(r for r in rows if r["metric_type"] == "exponential_histogram")
     assert e["positive_offset"] == 30 and e["scale"] == 0
+    # DP attr key/values surface through the Spark map column
+    assert dict(e["attrs"]) == {"svc": "a"}
+    g = next(r for r in rows if r["metric_type"] == "gauge")
+    assert dict(g["attrs"]) == {"core": "0"}
 
 
 def test_pb_log_attr_values_roundtrip():
