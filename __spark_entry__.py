@@ -1186,6 +1186,28 @@ def q_emb_ann_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs_banded(e.unionByName(dup), threshold=0.9, m=16, n_tables=4)
 
 
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate CLUSTERS: banded sign-LSH near-dup pairs
+    (cos >= 0.9, incl. planted exact duplicates) resolved into connected
+    components — the same min-label propagation as doc_dup_clusters, shown
+    generic over any pair finder. Oracle: recursive-CTE closure over the
+    exact SQL replay of the banded candidate + cosine-verify pipeline."""
+    from otel_arrow_adapter_spark.functions.dedup import dup_clusters
+    from otel_arrow_adapter_spark.functions.similarity import ann_pairs_banded
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    dup = e.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pairs = ann_pairs_banded(e.unionByName(dup), threshold=0.9, m=16, n_tables=4).persist()
+    out = dup_clusters(pairs, a_col="vec_a", b_col="vec_b", id_name="vec_id")
+    pairs.unpersist()
+    return out
+
+
 def q_emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k search: probe the 2 nearest of 10 coarse centroids, exact
     cosine only inside those clusters (scanned fraction ~ n_probe/n_list)."""
@@ -1641,6 +1663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "emb_dup_clusters": q_emb_dup_clusters,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
     # -- the rest --
@@ -2874,6 +2897,29 @@ SELECT DISTINCT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= """
 
 
 ORACLES["emb_ann_pairs_banded"] = _banded_oracle()
+
+# Recursive-CTE connected components over the banded near-dup pairs:
+# min reachable vec_id across the symmetric edge closure = cluster id
+ORACLES["emb_dup_clusters"] = (
+    _banded_oracle().replace("\nWITH aug AS", "\nWITH RECURSIVE aug AS", 1)
+    .replace(
+        "SELECT DISTINCT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.9",
+        """, p AS (SELECT DISTINCT vec_a, vec_b FROM scored WHERE cos_sim >= 0.9),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM p
+  UNION SELECT vec_b, vec_a FROM p
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.vec_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  c.vec_id = c.cluster_id AS is_rep
+FROM comp c JOIN csize s USING (cluster_id)""",
+    )
+)
 
 # Two full Lloyd iterations from the seed centroids (vec_id < 5), then a
 # final assignment census. Normalization is skipped (cosine ranking is

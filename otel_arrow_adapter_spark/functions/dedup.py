@@ -210,7 +210,13 @@ def jaccard_pairs(
     return owned_result(out, *owned)
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_name: str = "doc_id",
+) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     by iterative min-label propagation.
 
@@ -233,8 +239,8 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     (O(log d)) — not worth its extra shuffles for dedup workloads.
     """
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
@@ -268,7 +274,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     out = (
         labels.join(F.broadcast(sizes), "label")
         .select(
-            "doc_id",
+            F.col("doc_id").alias(id_name),
             F.col("label").alias("cluster_id"),
             "cluster_size",
             (F.col("doc_id") == F.col("label")).alias("is_rep"),
