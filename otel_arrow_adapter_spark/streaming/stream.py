@@ -295,3 +295,60 @@ def dict_stream_stats_sink(stats, widths: tuple[int, ...] = (256, 65536, 1 << 32
             stats.note_index_type(f"dict:bucket={r['bucket']}", itype)
 
     return sink
+
+
+DEDUP_STATE_SCHEMA = "seen array<string>"
+DEDUP_OUT_SCHEMA = "bucket int, doc_id long, fp string"
+
+
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 16) -> DataFrame:
+    """Cross-micro-batch EXACT dedup at ingestion — the streaming form of
+    the batch keep-first rule (exact_duplicates / clean_corpus): only the
+    FIRST occurrence of each text fingerprint ever passes; later copies are
+    dropped in whatever micro-batch they arrive, hours or days later.
+
+    Shape: the fingerprint (md5 of normalized text) is a JVM-side column
+    expression computed BEFORE the stateful operator; state per hash bucket
+    (applyInPandasWithState, same sharding discipline as
+    ``dictionary_delta_stream``) = the fingerprints already admitted, so no
+    task ever owns the whole seen-set and state is O(distinct docs) split
+    ``n_buckets`` ways across executors. Within one micro-batch, ties break
+    to the smallest ``id_col`` (deterministic, matching the batch
+    groupBy(fp).min(struct) keep-first); across batches, arrival order
+    wins — exactly the reference's first-seen dictionary semantics applied
+    to whole payloads."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.text import fingerprint
+
+    def update(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        n_before = len(seen)
+        out_ids: list[int] = []
+        out_fps: list[str] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            for i, fp in zip(pdf[id_col], pdf["fp"]):
+                if fp not in seen:
+                    seen.add(fp)
+                    out_ids.append(int(i))
+                    out_fps.append(fp)
+        if len(seen) > n_before:
+            state.update((list(seen),))
+        yield pd.DataFrame(
+            {"bucket": [key[0]] * len(out_ids), "doc_id": out_ids, "fp": out_fps}
+        )
+
+    bucketed = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col("fp")), F.lit(n_buckets)).cast("int"))
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

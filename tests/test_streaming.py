@@ -151,6 +151,43 @@ def test_stream_dictionary_delta_stats(spark, transcripts, tmp_path):
     assert snap.get("dictionary_overflow_detected", 0) >= 1
 
 
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Cross-micro-batch exact dedup: each distinct text passes exactly
+    once, keep-first across batches (arrival order) and min-doc_id within
+    a batch — duplicates arriving in LATER micro-batches are dropped by
+    the bucket-sharded fingerprint state."""
+    from otel_arrow_adapter_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "src_dedup")
+    # batch 1: texts A (ids 5 and 2 — intra-batch dup, min id wins), B
+    spark.createDataFrame(
+        [(5, "alpha text"), (2, "alpha text"), (3, "beta text")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    deduped = dedup_stream(stream, n_buckets=4)
+    q = deduped.writeStream.format("memory").queryName("dq").outputMode("append").start()
+    q.processAllAvailable()
+    # batch 2: A again (cross-batch dup, dropped even though id=1 < 2), C
+    spark.createDataFrame(
+        [(1, "alpha text"), (9, "gamma text")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # batch 3: whitespace variant of A — the normalized fingerprint makes
+    # '  alpha   text ' the same doc, so it is dropped too
+    spark.createDataFrame(
+        [(7, "  alpha   text ")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from dq").collect()
+    kept = {r.doc_id for r in rows}
+    assert kept == {2, 3, 9}  # one per distinct text; A kept from batch 1 (id 2)
+    assert len({r.fp for r in rows}) == len(rows) == 3
+
+
 def test_stream_paced_replay(spark, tmp_path):
     """replay_timer.go analog: rows re-emit in original-timestamp order at
     ~1 tick/wall-second (speed-scaled), never all at once. With offsets
