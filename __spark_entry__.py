@@ -81,6 +81,25 @@ def _trim_exp_sql(col: str) -> tuple[str, str]:
     return offset, trimmed
 
 
+def _exp_quantile_edges_sql(max_buckets: int, scale: int) -> tuple[str, str]:
+    """DuckDB (est_lo, est_hi) CASE chains mapping a signed BIGINT v to its
+    exp-histogram bucket edges — the oracle mirror of
+    metrics_dp.exp_hist_quantiles: the slot whose cumulative count first
+    reaches rank q IS the bucket containing the rank-q value, so mapping
+    the exact rank-q value to its bucket edges replays the sketch estimate
+    bit-for-bit (same exp2_lower_bound integer literals on both engines)."""
+    bounds = [exp2_lower_bound(i, scale) for i in range(max_buckets + 1)]
+    lo = ["CASE WHEN v = 0 THEN CAST(0 AS BIGINT)"]
+    hi = ["CASE WHEN v = 0 THEN CAST(0 AS BIGINT)"]
+    for i in range(max_buckets - 1, -1, -1):
+        lo.append(f"WHEN v >= {bounds[i]} THEN CAST({bounds[i]} AS BIGINT)")
+        hi.append(f"WHEN v >= {bounds[i]} THEN CAST({bounds[i + 1]} AS BIGINT)")
+    for i in range(max_buckets - 1, -1, -1):
+        lo.append(f"WHEN v <= {-bounds[i]} THEN CAST({-bounds[i + 1]} AS BIGINT)")
+        hi.append(f"WHEN v <= {-bounds[i]} THEN CAST({-bounds[i]} AS BIGINT)")
+    return " ".join(lo) + " END", " ".join(hi) + " END"
+
+
 N_CATALOG_TOOLS = 6  # tool-6 exists in data but not in catalog -> quarantine
 
 # DuckDB prelude shared by all pipeline oracles: transcripts CTE + catalog.
@@ -1291,6 +1310,30 @@ def q_events_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_latency_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at the 10^12-row regime: quantiles FROM the mergeable
+    exponential-histogram sketch (DDSketch-style) instead of an exact
+    per-group sort — rollup is one map-side-combined shuffle to
+    O(max_buckets) counts per group, the quantile walk is a window over
+    O(groups x buckets) slot rows, and sketches from different partitions/
+    days merge exactly (merge_exp_histograms). The [est_lo, est_hi] bracket
+    provably contains the true quantile; the oracle maps the exact rank-q
+    value to the same integer bucket edges, so the estimates match
+    bit-for-bit. Value domain [0, ~600] -> max_buckets=12, no overflow."""
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp_hist_quantiles,
+        exp_histogram_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("value").isNotNull())
+    eh = exp_histogram_rollup(
+        ev, max_buckets=12, value_col="value", keys=("event_type",), scale=0
+    )
+    return exp_hist_quantiles(
+        eh, (0.5, 0.95, 0.99), keys=("event_type",), scale=0, max_buckets=12
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: video frame sampling (explode over n_frames) on
     the deterministic synthetic media table; decode itself is stubbed (the
@@ -1664,6 +1707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
     "emb_dup_clusters": q_emb_dup_clusters,
+    "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
     # -- the rest --
@@ -2494,6 +2538,23 @@ WITH g AS (
 )
 SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
+""",
+    "events_latency_quantiles_sketch": """
+WITH v AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, v,
+    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM v
+),
+qd AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
+SELECT event_type, q,
+  """ + _exp_quantile_edges_sql(12, 0)[0] + """ AS est_lo,
+  """ + _exp_quantile_edges_sql(12, 0)[1] + """ AS est_hi
+FROM r JOIN qd ON rn = greatest(CAST(ceil(q * cnt) AS BIGINT), 1)
 """,
     "events_latency_quantiles": """
 SELECT event_type, count(*) AS n,

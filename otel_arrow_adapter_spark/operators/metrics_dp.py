@@ -621,6 +621,85 @@ def merge_exp_histograms(
     )
 
 
+def exp_hist_quantiles(
+    eh: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+    scale: int = 0,
+    max_buckets: int = 18,
+) -> DataFrame:
+    """Mergeable quantile estimation from exponential-histogram rollups —
+    the DDSketch-style scale path for percentiles. Exact percentile needs a
+    full per-group sort of raw values; here each group is already reduced
+    to O(max_buckets) counts (``exp_histogram_rollup`` and
+    ``merge_exp_histograms`` are each one map-side-combined shuffle), so
+    quantiles over 10^12 rows cost a window over O(groups x buckets) slot
+    rows. The [est_lo, est_hi] bracket is exact — the rank-q value provably
+    lies in it — with relative width 2^(2^-scale) (scale 0 = a 2x bracket);
+    the overflow bucket reports its lower edge with the next power as the
+    nominal hi, so size max_buckets to the data domain.
+
+    Consumes the rollup's sparse transport shape (offset + trimmed arrays,
+    negative family mirrored). Slot order is true value order: negative
+    buckets by descending absolute index, then zero_count, then positives
+    ascending. rank = max(ceil(q*count), 1); the answer is the first slot
+    whose running count reaches it (min_by over a per-group cumulative
+    window — partitioned, never global). Bucket edges are the same
+    exact-integer ``exp2_lower_bound`` literals the rollup compared
+    against, so a DuckDB oracle replays the estimates bit-for-bit."""
+    bounds = [exp2_lower_bound(i, scale) for i in range(max_buckets + 1)]
+    barr = F.array(*[F.lit(b).cast("long") for b in bounds])
+    ks = list(keys)
+
+    def side(name: str, sign: int) -> DataFrame:
+        ex = eh.select(
+            *ks,
+            "count",
+            F.col(f"{name}_offset").alias("_off"),
+            F.posexplode(f"{name}_bucket_counts").alias("_p", "cnt"),
+        )
+        j = F.col("_off") + F.col("_p")  # absolute bucket index
+        lo = F.try_element_at(barr, (j + 1).cast("int"))
+        hi = F.try_element_at(barr, (j + 2).cast("int"))
+        if sign > 0:
+            ordc, est_lo, est_hi = (j + 1).cast("long"), lo, hi
+        else:  # bucket j holds v in [-hi, -lo] (integer domain)
+            ordc, est_lo, est_hi = (-j - 1).cast("long"), -hi, -lo
+        return ex.select(
+            *ks, "count", "cnt", ordc.alias("ord"),
+            est_lo.alias("est_lo"), est_hi.alias("est_hi"),
+        )
+
+    zero = eh.select(
+        *ks,
+        "count",
+        F.col("zero_count").alias("cnt"),
+        F.lit(0).cast("long").alias("ord"),
+        F.lit(0).cast("long").alias("est_lo"),
+        F.lit(0).cast("long").alias("est_hi"),
+    )
+    slots = (
+        side("positive", 1)
+        .unionByName(side("negative", -1))
+        .unionByName(zero)
+        .where(F.col("cnt") > 0)
+    )
+    w = Window.partitionBy(*ks).orderBy("ord")
+    slots = slots.withColumn("cum", F.sum("cnt").over(w))
+    expanded = slots.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(x)) for x in qs]))
+    )
+    rank = F.greatest(F.ceil(F.col("q") * F.col("count")), F.lit(1))
+    return (
+        expanded.where(F.col("cum") >= rank)
+        .groupBy(*ks, "q")
+        .agg(
+            F.min_by("est_lo", "ord").alias("est_lo"),
+            F.min_by("est_hi", "ord").alias("est_hi"),
+        )
+    )
+
+
 def summary_rollup(
     points: DataFrame,
     quantiles: list[float] = (0.5, 0.9, 0.99),

@@ -399,3 +399,59 @@ def test_merge_exp_histograms_aligns_offsets(spark):
     assert row["positive_bucket_counts"] == [4, 0, 0, 0, 5, 0, 3, 0, 7]
     assert row["count"] == 19
     assert row["negative_offset"] == 0 and row["negative_bucket_counts"] == []
+
+
+def test_exp_hist_quantiles_bracket_and_merge(spark):
+    """Sketch quantiles: (a) every [est_lo, est_hi] bracket contains the
+    exact rank-q value and spans at most 2x (scale 0); (b) quantiles from
+    two per-source rollups MERGED equal quantiles from one direct rollup —
+    the mergeability that makes this the 10^12-row percentile path; (c)
+    negative values order before zero before positives."""
+    import math
+
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp_hist_quantiles,
+        exp_histogram_rollup,
+        merge_exp_histograms,
+    )
+
+    vals = [-9, -2, 0, 0, 1, 3, 3, 7, 20, 150, 1000]
+    df = spark.createDataFrame(
+        [("lat", "ms", v, i) for i, v in enumerate(vals)],
+        "metric_name string, metric_unit string, metric_value long, i int",
+    )
+    qs = (0.1, 0.5, 0.9, 1.0)
+    direct = exp_histogram_rollup(df, max_buckets=12)
+    got = {
+        r["q"]: (r["est_lo"], r["est_hi"])
+        for r in exp_hist_quantiles(direct, qs, max_buckets=12).collect()
+    }
+    sv = sorted(vals)
+    for q in qs:
+        rank = max(math.ceil(q * len(vals)), 1)
+        exact = sv[rank - 1]
+        lo, hi = got[q]
+        assert lo <= exact <= hi, (q, exact, got[q])
+        if exact != 0:
+            assert abs(hi) <= 2 * abs(lo) and abs(lo) >= 1  # 2x bracket
+    # q=0.1 -> rank ceil(1.1)=2 -> value -2, negative bucket j=1 = [-4,-2];
+    # q=0.5 -> rank 6 -> value 3, positive bucket j=1 = [2,4]
+    assert got[0.1] == (-4, -2)
+    assert got[0.5] == (2, 4)
+    # mergeability: split sources, rollup each half, merge, same estimates
+    half = exp_histogram_rollup(
+        df.withColumn("metric_unit", F.col("metric_unit")),
+        max_buckets=12,
+        keys=("metric_name", "metric_unit"),
+    )
+    parts = df.withColumn("src", F.col("i") % 2)
+    per_src = exp_histogram_rollup(
+        parts, max_buckets=12, keys=("metric_name", "metric_unit", "src")
+    ).drop("src")
+    merged = merge_exp_histograms(per_src)
+    got_m = {
+        r["q"]: (r["est_lo"], r["est_hi"])
+        for r in exp_hist_quantiles(merged, qs, max_buckets=12).collect()
+    }
+    assert got_m == got
+    assert half.count() == 1
