@@ -651,37 +651,47 @@ def exp_hist_quantiles(
     barr = F.array(*[F.lit(b).cast("long") for b in bounds])
     ks = list(keys)
 
-    def side(name: str, sign: int) -> DataFrame:
-        ex = eh.select(
-            *ks,
-            "count",
-            F.col(f"{name}_offset").alias("_off"),
-            F.posexplode(f"{name}_bucket_counts").alias("_p", "cnt"),
-        )
-        j = F.col("_off") + F.col("_p")  # absolute bucket index
-        lo = F.try_element_at(barr, (j + 1).cast("int"))
-        hi = F.try_element_at(barr, (j + 2).cast("int"))
-        if sign > 0:
-            ordc, est_lo, est_hi = (j + 1).cast("long"), lo, hi
-        else:  # bucket j holds v in [-hi, -lo] (integer domain)
-            ordc, est_lo, est_hi = (-j - 1).cast("long"), -hi, -lo
-        return ex.select(
-            *ks, "count", "cnt", ordc.alias("ord"),
-            est_lo.alias("est_lo"), est_hi.alias("est_hi"),
-        )
+    # ONE slot array per group row (negatives + zero + positives), so the
+    # rollup lineage is scanned once — a 3-way union of per-side explodes
+    # would re-evaluate it three times. HOF lambdas are interpreted, but
+    # they run over O(max_buckets) elements per GROUP, not per input row.
+    def side(name: str, sign: int):
+        off = F.col(f"{name}_offset")
 
-    zero = eh.select(
-        *ks,
-        "count",
-        F.col("zero_count").alias("cnt"),
-        F.lit(0).cast("long").alias("ord"),
-        F.lit(0).cast("long").alias("est_lo"),
-        F.lit(0).cast("long").alias("est_hi"),
+        def slot(c, i):
+            j = off + i  # absolute bucket index
+            lo = F.try_element_at(barr, (j + 1).cast("int"))
+            hi = F.try_element_at(barr, (j + 2).cast("int"))
+            if sign > 0:
+                ordc, est_lo, est_hi = (j + 1).cast("long"), lo, hi
+            else:  # bucket j holds v in [-hi, -lo] (integer domain)
+                ordc, est_lo, est_hi = (-j - 1).cast("long"), -hi, -lo
+            return F.struct(
+                ordc.alias("ord"),
+                c.alias("cnt"),
+                est_lo.alias("est_lo"),
+                est_hi.alias("est_hi"),
+            )
+
+        return F.transform(F.col(f"{name}_bucket_counts"), slot)
+
+    zero_slot = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("ord"),
+            F.col("zero_count").alias("cnt"),
+            F.lit(0).cast("long").alias("est_lo"),
+            F.lit(0).cast("long").alias("est_hi"),
+        )
     )
     slots = (
-        side("positive", 1)
-        .unionByName(side("negative", -1))
-        .unionByName(zero)
+        eh.select(
+            *ks,
+            "count",
+            F.explode(
+                F.concat(side("negative", -1), zero_slot, side("positive", 1))
+            ).alias("_s"),
+        )
+        .select(*ks, "count", "_s.*")
         .where(F.col("cnt") > 0)
     )
     w = Window.partitionBy(*ks).orderBy("ord")
