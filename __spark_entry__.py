@@ -1525,6 +1525,55 @@ def q_pipeline_pb_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_pipeline_otlp_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 OTLP-JSON capture fidelity, oracle-gated, ZERO Python in the
+    data path: log-classified turns (+ a tool attribute) -> line-sharded
+    ExportLogsServiceRequest capture via to_json (protojson rendering,
+    requests sharded at resource grain) -> from_json decode -> severity
+    rollup over the DECODED values including the attr map. The protojson
+    sibling of pipeline_pb_capture_roundtrip — same oracle family (replayed
+    straight from the transcripts), so equality holds iff
+    encode∘decode == id; unlike the .pb path there is no mapInPandas
+    anywhere, both codec directions are JVM Jackson inside the plan."""
+    import hashlib
+    import tempfile
+
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_logs,
+        write_otlp_json_logs,
+    )
+
+    logs = (
+        _parsed(spark, sf_dir)
+        .where(F.col("signal_type") == "log")
+        .select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int").alias("res_idx"),
+            (F.col("log_ts_us") * 1000).alias("time_unix_nano"),
+            "severity_number",
+            "severity_text",
+            F.col("msg").alias("body"),
+            F.when(
+                F.col("tool").isNotNull(), F.create_map(F.lit("tool"), F.col("tool"))
+            ).alias("attrs"),
+        )
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oaas_json_capture_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    write_otlp_json_logs(logs, out)  # overwrite mode: idempotent re-runs
+    dec = read_otlp_json_logs(spark, out).where(F.col("res_idx") >= 0)
+    return dec.groupBy("severity_text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("body").alias("n_body"),
+        F.sum(F.col("time_unix_nano") % F.lit(1_000_003)).cast("long").alias("sum_ts_mod"),
+        F.max("time_unix_nano").cast("long").alias("max_ts"),
+        F.max("severity_number").cast("int").alias("max_sev"),
+        F.count(F.try_element_at("attrs", F.lit("tool"))).cast("long").alias("n_tool"),
+        F.max(F.try_element_at("attrs", F.lit("tool"))).alias("max_tool"),
+    )
+
+
 def q_pipeline_pb_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 traces fidelity, oracle-gated: trace-classified turns -> span rows
     with lifecycle events, a parent link and one attribute -> OTLP .pb
@@ -1702,6 +1751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_metrics_exp_hist_merge": q_pipeline_metrics_exp_hist_merge,
     "pipeline_pb_capture_roundtrip": q_pipeline_pb_capture_roundtrip,
     "pipeline_pb_metrics_roundtrip": q_pipeline_pb_metrics_roundtrip,
+    "pipeline_otlp_json_roundtrip": q_pipeline_otlp_json_roundtrip,
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -2184,6 +2234,23 @@ SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
   CAST(max(CASE nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '')
     WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
     WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END) AS INT) AS max_sev
+FROM classified WHERE signal_type = 'log'
+GROUP BY 1
+""",
+    # OTLP-JSON round-trip: same oracle family as the .pb capture — the
+    # rollup is replayed from the transcripts, green iff the protojson
+    # to_json∘from_json pipeline is the identity (attr map included)
+    "pipeline_otlp_json_roundtrip": _CTE + """
+SELECT nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '') AS severity_text,
+  count(*) AS n,
+  count(nullif(regexp_extract(text, ' msg="([^"]*)"', 1), '')) AS n_body,
+  CAST(sum((CAST(nullif(regexp_extract(text, 'ts_us=([0-9]+)', 1), '') AS BIGINT) * 1000) % 1000003) AS BIGINT) AS sum_ts_mod,
+  CAST(max(CAST(nullif(regexp_extract(text, 'ts_us=([0-9]+)', 1), '') AS BIGINT) * 1000) AS BIGINT) AS max_ts,
+  CAST(max(CASE nullif(regexp_extract(text, ' level=([A-Z]+)', 1), '')
+    WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+    WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END) AS INT) AS max_sev,
+  CAST(count(tool) AS BIGINT) AS n_tool,
+  max(tool) AS max_tool
 FROM classified WHERE signal_type = 'log'
 GROUP BY 1
 """,
