@@ -920,6 +920,33 @@ sh AS (
 )"""
 
 
+# quality/token scoring over docs_plus, DuckDB form — shared by the exact
+# and near-dup corpus-cleaning oracles (mirrors functions/text.py
+# quality_score / token_count / fingerprint exactly)
+_SCORED_SQL = """,
+f AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it'))) END AS h_sw,
+    length(lower(text)) AS n_low,
+    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_stripped
+  FROM docs_plus
+), scored AS (
+  SELECT doc_id, fp, CAST(n AS BIGINT) AS n_tokens,
+    least(n / 50.0, 1.0) * 0.4
+    + (CASE WHEN (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) > 0.01
+             AND (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) < 0.6
+            THEN 1.0 ELSE 0.3 END) * 0.3
+    + (1.0 - least((CASE WHEN n_low > 0
+                         THEN (n_low - n_stripped) / CAST(n_low AS DOUBLE)
+                         ELSE 0.0 END) * 5, 1.0)) * 0.3 AS q
+  FROM f
+)"""
+
 # MinHash-LSH candidates -> exact-Jaccard-verified pairs, DuckDB CTE chain
 # shared by the pair query and the connected-components cluster oracle
 _JACCARD_CTES = """,
@@ -1062,6 +1089,47 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dup_clusters(pairs)
     pairs.unpersist()
     return out
+
+
+def q_doc_clean_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-duplicate cleaning pass a pretraining corpus actually runs
+    (doc_clean_corpus catches verbatim copies only; this catches the
+    boilerplate/near-copy tail): MinHash-LSH candidates -> exact Jaccard
+    verify -> connected components -> drop every cluster member except the
+    min-id representative -> quality filter -> per-doc token stats. The
+    anti-join against the drop list shuffles on doc_id — O(dup docs), the
+    natural scale shape. Oracle: recursive-CTE closure + the shared
+    quality/token scoring SQL."""
+    from otel_arrow_adapter_spark.functions.dedup import (
+        doc_shingles,
+        dup_clusters,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signature,
+    )
+    from otel_arrow_adapter_spark.functions.text import quality_score, token_count
+
+    dp = _docs_plus(spark, sf_dir)
+    sh = doc_shingles(dp).persist()
+    cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
+    pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
+    sh.unpersist()
+    cand.unpersist()
+    clusters = dup_clusters(pairs)
+    pairs.unpersist()
+    drop = clusters.where(~F.col("is_rep")).select("doc_id")
+    kept = dp.join(drop, "doc_id", "left_anti")
+    scored = kept.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    out = scored.where(F.col("q") >= 0.5).select(
+        "doc_id", "n_tokens", F.round("q", 6).alias("quality")
+    )
+    from otel_arrow_adapter_spark.caching import owned_result
+
+    return owned_result(out, clusters)
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1756,6 +1824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_clean_corpus_near": q_doc_clean_corpus_near,
     "emb_dup_clusters": q_emb_dup_clusters,
     "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -2773,35 +2842,32 @@ SELECT doc_id, shard, n_tokens, start_off,
             ELSE floor(start_off / 512) END AS BIGINT) AS last_chunk
 FROM offs
 """,
-    "doc_clean_corpus": _DOCS_PLUS_SQL + """,
-f AS (
-  SELECT doc_id,
-    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
-                  x -> x IN ('the','a','of','and','to','in','is','it'))) END AS h_sw,
-    length(lower(text)) AS n_low,
-    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_stripped
-  FROM docs_plus
-), scored AS (
-  SELECT doc_id, fp, CAST(n AS BIGINT) AS n_tokens,
-    least(n / 50.0, 1.0) * 0.4
-    + (CASE WHEN (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) > 0.01
-             AND (CASE WHEN n > 0 THEN h_sw / CAST(n AS DOUBLE) ELSE 0.0 END) < 0.6
-            THEN 1.0 ELSE 0.3 END) * 0.3
-    + (1.0 - least((CASE WHEN n_low > 0
-                         THEN (n_low - n_stripped) / CAST(n_low AS DOUBLE)
-                         ELSE 0.0 END) * 5, 1.0)) * 0.3 AS q
-  FROM f
-), kept AS (
+    "doc_clean_corpus": _DOCS_PLUS_SQL + _SCORED_SQL + """, kept AS (
   SELECT * FROM scored WHERE q >= 0.5
 ), firsts AS (
   SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
 )
 SELECT k.doc_id, k.n_tokens, round(k.q, 6) AS quality
 FROM kept k JOIN firsts d ON k.fp = d.fp AND k.doc_id = d.doc_id
+""",
+    # Near-dup cleaning: CC closure over the verified pairs -> drop
+    # non-representative cluster members -> the same scoring/filter
+    "doc_clean_corpus_near": _SHINGLES_SQL.replace(
+        "WITH docs_plus", "WITH RECURSIVE docs_plus", 1
+    ) + _JACCARD_CTES + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""" + _SCORED_SQL + """
+SELECT s.doc_id, s.n_tokens, round(s.q, 6) AS quality
+FROM scored s LEFT JOIN dropped d USING (doc_id)
+WHERE d.doc_id IS NULL AND s.q >= 0.5
 """,
     "doc_quality": """
 WITH f AS (

@@ -450,6 +450,35 @@ def test_dup_clusters_transitive_closure(spark):
     )
 
 
+def test_dup_clusters_chain_linear_plan_growth(spark):
+    """Long-chain regression: a 13-node path needs 12 propagation rounds —
+    with persist-only rounds the plan nests one
+    InMemoryRelation-of-AdaptiveSparkPlan deeper per round (persist
+    truncates execution, not the plan) and plan rendering for the SQL
+    listener grows superlinearly: measured 1.1 s → 9.7 s per round by
+    round 10, 244 s total on this chain. localCheckpoint truncation keeps
+    every round flat, so the final plan must be a constant-size LogicalRDD
+    and total wall-clock far under the persist-only behavior."""
+    import time
+
+    from otel_arrow_adapter_spark.functions.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(12)], "doc_a long, doc_b long"
+    )
+    t0 = time.perf_counter()
+    out = dup_clusters(chain)
+    rows = {r.doc_id: r for r in out.collect()}
+    elapsed = time.perf_counter() - t0
+    assert set(rows) == set(range(13))
+    assert all(r.cluster_id == 0 and r.cluster_size == 13 for r in rows.values())
+    assert [i for i in rows if rows[i].is_rep] == [0]
+    plan_chars = len(out._jdf.queryExecution().analyzed().treeString())
+    out.unpersist()
+    assert plan_chars < 100_000, plan_chars  # exponential form: millions
+    assert elapsed < 120, elapsed  # exponential form: minutes of treeString
+
+
 def test_no_lingering_caches_after_queries(spark):
     """Cache-lifecycle contract (caching.owned_result): every query whose
     plan persists intermediates frees them once its result materializes —
