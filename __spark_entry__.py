@@ -1132,6 +1132,40 @@ def q_doc_clean_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owned_result(out, clusters)
 
 
+def q_doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate: word 3-grams present in >= 5 distinct
+    documents (the CCNet/RefinedWeb repeated-chrome target). One explode +
+    one map-side-combined groupBy on the gram string — shuffled rows ≈
+    distinct grams, never total occurrences."""
+    from otel_arrow_adapter_spark.functions.text import boilerplate_ngrams
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_ngrams(d, n=3, min_docs=5)
+
+
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition filters at token grain: duplicate
+    2-gram fraction + most-frequent-2-gram share, keep = dup fraction
+    <= 0.2. Pure array expressions, zero shuffle, zero Python."""
+    from otel_arrow_adapter_spark.functions.text import repetition_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_scores(d, n=2)
+
+
+def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized brute-force top-10: per-dim symmetric scales
+    (O(dim) global state, broadcast back), floor(x/s*127+0.5) codes,
+    cosine over reconstructions — what a quantized vector store serves.
+    Engine-portable arithmetic (floor half-up), full SQL replay."""
+    from otel_arrow_adapter_spark.functions.similarity import quantized_cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return quantized_cosine_topk(e, query_vec_id=0, k=10, bits=8)
+
+
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pandas-UDF bit-voting signature ->
     16-bit-chunk pigeonhole blocking, never all-pairs). Oracle: DuckDB
@@ -1825,6 +1859,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_clean_corpus_near": q_doc_clean_corpus_near,
+    "doc_boilerplate_ngrams": q_doc_boilerplate_ngrams,
+    "doc_repetition_scores": q_doc_repetition_scores,
+    "emb_quantized_topk": q_emb_quantized_topk,
     "emb_dup_clusters": q_emb_dup_clusters,
     "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -2707,6 +2744,76 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
   length(text)::BIGINT AS n_chars_actual
 FROM documents
+""",
+    "doc_boilerplate_ngrams": """
+WITH toks AS (
+  SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS ngram
+  FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+)
+SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM grams GROUP BY ngram HAVING count(DISTINCT doc_id) >= 5
+""",
+    "doc_repetition_scores": """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')
+    END AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+         ELSE [] END AS grams
+  FROM toks
+), m AS (
+  SELECT doc_id, len(grams) AS n_grams,
+    CASE WHEN len(grams) > 0
+         THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+         ELSE 0.0 END AS fd,
+    CASE WHEN len(grams) > 0
+         THEN list_max(list_transform(list_distinct(grams),
+                x -> len(list_filter(grams, y -> y = x)))) / CAST(len(grams) AS DOUBLE)
+         ELSE 0.0 END AS tf
+  FROM g
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  round(fd, 6) AS frac_dup_ngrams, round(tf, 6) AS top_ngram_frac,
+  fd <= 0.2 AS keep
+FROM m
+""",
+    "emb_quantized_topk": """
+WITH dims AS (
+  SELECT i.i AS pos, max(abs(CAST(e.embedding[i.i] AS DOUBLE))) AS s
+  FROM embeddings e, range(1, 65) i(i)
+  GROUP BY i.i
+), recon AS (
+  SELECT e.vec_id, i.i AS pos,
+    CASE WHEN d.s > 0
+         THEN floor(CAST(e.embedding[i.i] AS DOUBLE) / d.s * 127 + 0.5) * d.s / 127
+         ELSE 0.0 END AS r
+  FROM embeddings e CROSS JOIN range(1, 65) i(i) JOIN dims d ON d.pos = i.i
+), q AS (
+  SELECT pos, r AS qr FROM recon WHERE vec_id = 0
+), dots AS (
+  SELECT v.vec_id,
+    sum(v.r * q.qr) AS d,
+    sqrt(sum(v.r * v.r)) AS na,
+    sqrt(sum(q.qr * q.qr)) AS nq
+  FROM recon v JOIN q ON q.pos = v.pos
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id
+), ranked AS (
+  SELECT vec_id, round(d / (na * nq), 6) AS cos_sim,
+    CAST(row_number() OVER (ORDER BY d / (na * nq) DESC, vec_id ASC) AS INT) AS rank
+  FROM dots
+)
+SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """,
     "doc_lang_id": """
 WITH toks AS (

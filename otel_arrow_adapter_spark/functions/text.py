@@ -112,6 +112,77 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def ngram_array(text: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) word n-grams over the normalized text.
+
+    Unlike :func:`shingles` (a distinct SET for MinHash), this keeps every
+    occurrence — repetition analysis needs multiplicity. Documents shorter
+    than ``n`` tokens yield an empty array (guarded: ``F.sequence(1, 0)``
+    would descend)."""
+    toks = tokens(normalize_text(text))
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 3, min_docs: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level boilerplate detection: word n-grams appearing in at
+    least ``min_docs`` DISTINCT documents (headers, footers, license
+    blurbs, navigation chrome — the CCNet/RefinedWeb cleaning target).
+
+    Scale shape: one explode then one groupBy on the n-gram string —
+    partial (map-side) aggregation collapses each partition's repeats
+    before the shuffle, so shuffled rows ≈ distinct n-grams per partition,
+    not total occurrences. n-gram keys are near-uniform (no skew salt
+    needed); count(DISTINCT doc_id) plans as a two-phase expand+partial
+    aggregate, never a per-key set collect. Returns
+    (ngram, n_docs, n_occurrences)."""
+    grams = docs.select("doc_id", F.explode(ngram_array(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def repetition_scores(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Per-document repetition quality signals (the Gopher repetition
+    filters, Rae et al. 2021 table A1, re-expressed at token grain):
+    fraction of n-gram occurrences that are duplicates of an earlier one,
+    and the share held by the single most frequent n-gram. ``keep`` is the
+    standard dup-fraction <= 0.2 gate.
+
+    Pure array expressions per row (whole-stage codegen, zero Python,
+    zero shuffle): dup fraction = 1 - distinct/total; the top-gram share
+    is an O(distinct x total) nested array scan — bounded by document
+    length, embarrassingly parallel, no corpus-wide state."""
+    grams = ngram_array(F.col(text_col), n)
+    total = F.size(grams)
+    uniq = F.array_distinct(grams)
+    frac_dup = F.when(
+        total > 0, (total - F.size(uniq)) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    per_gram = F.transform(uniq, lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    top_frac = F.when(
+        total > 0, F.array_max(per_gram) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        F.round(frac_dup, 6).alias("frac_dup_ngrams"),
+        F.round(top_frac, 6).alias("top_ngram_frac"),
+        (frac_dup <= 0.2).alias("keep"),
+    )
+
+
 def pack_offsets(
     docs: DataFrame,
     budget: int = 512,

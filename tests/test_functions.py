@@ -504,3 +504,92 @@ def test_no_lingering_caches_after_queries(spark):
         res.unpersist()
         after = set(sc._jsc.getPersistentRDDs().keys())
         assert after - before == set(), (name, after - before)
+
+
+def test_repetition_scores_known_answer(spark):
+    from otel_arrow_adapter_spark.functions.text import repetition_scores
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: [ab, ba, ab, ba, ab] -> dup 3/5, top 3/5
+            (2, "w x y z"),        # all distinct
+            (3, "solo"),           # shorter than n -> no grams
+            (4, ""),               # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_scores(d, n=2).collect()}
+    assert rows[1].n_grams == 5
+    assert rows[1].frac_dup_ngrams == pytest.approx(0.6)
+    assert rows[1].top_ngram_frac == pytest.approx(0.6)
+    assert rows[1].keep is False
+    assert rows[2].n_grams == 3 and rows[2].frac_dup_ngrams == 0.0 and rows[2].keep
+    assert rows[3].n_grams == 0 and rows[3].top_ngram_frac == 0.0 and rows[3].keep
+    assert rows[4].n_grams == 0 and rows[4].keep
+
+
+def test_repetition_scores_no_shuffle(spark, docs):
+    """Per-doc repetition is row-local: the plan must contain no Exchange
+    (the whole point of the array-expression form at 100 TB)."""
+    from otel_arrow_adapter_spark.functions.text import repetition_scores
+
+    plan = repetition_scores(docs.select("doc_id", "text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_boilerplate_ngrams_known_answer(spark):
+    from otel_arrow_adapter_spark.functions.text import boilerplate_ngrams
+
+    # "common header text" in docs 1-3 (doc 3 twice); unique tails elsewhere
+    d = spark.createDataFrame(
+        [
+            (1, "common header text alpha"),
+            (2, "common header text beta"),
+            (3, "common header text common header text"),
+            (4, "nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.ngram: r for r in boilerplate_ngrams(d, n=3, min_docs=3).collect()}
+    assert set(out) == {"common header text"}
+    assert out["common header text"].n_docs == 3
+    assert out["common header text"].n_occurrences == 4
+
+
+def test_quantize_embeddings_bounds_and_recall(spark):
+    """int8 codes stay in [-127, 127]; reconstruction error per dim is
+    <= s_d/254 + eps; quantized top-10 overlaps exact top-10 heavily."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    coded = quantize_embeddings(e, bits=8)
+    mn, mx = coded.select(
+        F.min(F.array_min("codes")), F.max(F.array_max("codes"))
+    ).first()
+    assert -127 <= mn and mx <= 127
+    # reconstruction error bound: |x - c*s/127| <= s/(2*127) per dim
+    err = (
+        coded.join(e, "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    F.zip_with("codes", "scales", lambda c, s: c * s / 127.0).alias("r"),
+                    "embedding",
+                    lambda r, x: F.abs(r - x),
+                )
+            ).alias("e"),
+            F.array_max(F.transform("scales", lambda s: s / 254.0 + 1e-12)).alias("bound"),
+        )
+        .where(F.col("e") > F.col("bound"))
+        .count()
+    )
+    assert err == 0
+    exact = {r.vec_id for r in cosine_topk(e, query_vec_id=0, k=10).collect()}
+    quant = {r.vec_id for r in quantized_cosine_topk(e, query_vec_id=0, k=10).collect()}
+    assert len(exact & quant) >= 8  # int8 SQ distorts cosine by <1e-2 at dim 64
