@@ -1800,6 +1800,87 @@ def q_pipeline_pb_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_pipeline_otlp_json_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The protojson sibling of pipeline_pb_traces_roundtrip, ZERO Python
+    anywhere: the same span rows (lifecycle events, parent link, conv
+    attr) are built as pure column expressions, captured as line-sharded
+    ExportTraceServiceRequest JSON via to_json, decoded with from_json,
+    and rolled up from the DECODED values. Shares the .pb sibling's oracle
+    verbatim — equality holds iff protojson encode∘decode == id on ids,
+    kind, status, both timestamps, event names+times, link ids and the
+    attr value."""
+    import hashlib
+    import tempfile
+
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_spans,
+        write_otlp_json_spans,
+    )
+
+    mod = 1_000_003
+    tp = _trace_points(spark, sf_dir)
+    start_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    dur = F.col("dur_ms").cast("long")
+    end_ns = F.when(dur.isNotNull(), start_ns + dur * 1_000_000)
+    trace_hex = F.md5(F.col("conv_id"))
+    parent16 = F.when(F.col("parent_hex").isNotNull(), F.lpad("parent_hex", 16, "0"))
+    ev = F.struct(start_ns.alias("time_unix_nano"), F.lit("span.start").alias("name"))
+    ev_end = F.struct(end_ns.alias("time_unix_nano"), F.lit("span.end").alias("name"))
+    spans_in = tp.select(
+        F.lit(0).alias("res_idx"),
+        trace_hex.alias("trace_id"),
+        F.col("span_hex").alias("span_id"),
+        parent16.alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("conv_id")).alias("name"),
+        (F.col("turn_idx") % 4 + 1).cast("int").alias("kind"),
+        start_ns.alias("start_time_unix_nano"),
+        end_ns.alias("end_time_unix_nano"),
+        F.when(dur.isNotNull(), (dur % 3).cast("int")).alias("status_code"),
+        F.create_map(F.lit("conv"), F.col("conv_id")).alias("attrs"),
+        F.when(dur.isNotNull(), F.array(ev, ev_end)).otherwise(F.array(ev)).alias("events"),
+        F.when(
+            parent16.isNotNull(),
+            F.array(F.struct(trace_hex.alias("trace_id"), parent16.alias("span_id"))),
+        ).otherwise(
+            F.array().cast("array<struct<trace_id:string,span_id:string>>")
+        ).alias("links"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oaas_json_tcapture_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    write_otlp_json_spans(spans_in, out)  # overwrite mode: idempotent re-runs
+    dec = read_otlp_json_spans(spark, out).where(F.col("res_idx") >= 0)
+    first_link = F.try_element_at("links", F.lit(1))
+    return dec.groupBy(F.col("kind").cast("int").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.size("events")).cast("long").alias("n_events"),
+        F.sum(
+            F.size(F.filter("events", lambda e: e["name"] == F.lit("span.end")))
+        ).cast("long").alias("n_end_events"),
+        F.sum(F.col("start_time_unix_nano") % mod).cast("long").alias("sum_start_mod"),
+        F.sum(
+            F.aggregate(
+                "events",
+                F.lit(0).cast("long"),
+                lambda a, e: a + e["time_unix_nano"] % mod,
+            )
+        ).cast("long").alias("sum_event_ts_mod"),
+        F.sum(F.coalesce(F.col("status_code"), F.lit(0))).cast("long").alias("sum_status"),
+        F.sum(F.size("links")).cast("long").alias("n_links"),
+        F.countDistinct(first_link["trace_id"]).alias("n_link_traces"),
+        F.max(first_link["span_id"]).alias("max_link_span"),
+        F.max("name").alias("max_name"),
+        F.sum(
+            F.when(
+                F.try_element_at("attrs", F.lit("conv"))
+                == F.regexp_replace("name", "^op-", ""),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_attr_conv_match"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via mapInPandas (decode STUBBED with a
     deterministic payload-hash fake — real PIL/ffmpeg swap-in point). The
@@ -1854,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pb_capture_roundtrip": q_pipeline_pb_capture_roundtrip,
     "pipeline_pb_metrics_roundtrip": q_pipeline_pb_metrics_roundtrip,
     "pipeline_otlp_json_roundtrip": q_pipeline_otlp_json_roundtrip,
+    "pipeline_otlp_json_traces_roundtrip": q_pipeline_otlp_json_traces_roundtrip,
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -3156,6 +3238,10 @@ SELECT vec_id, cos_sim,
 FROM scored
 ORDER BY rank LIMIT 10
 """
+
+# the protojson traces round-trip computes the identical rollup through a
+# different codec, so the .pb sibling's oracle applies verbatim
+ORACLES["pipeline_otlp_json_traces_roundtrip"] = ORACLES["pipeline_pb_traces_roundtrip"]
 
 ORACLES["emb_ann_pairs_multiprobe"] = _multiprobe_oracle()
 ORACLES["emb_ivf_search"] = _IVF_SEARCH_ORACLE

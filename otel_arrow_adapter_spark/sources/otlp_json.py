@@ -183,3 +183,206 @@ def read_otlp_json_logs(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return good.unionByName(bad.select(*good.columns))
+
+
+# from_json schema for one ExportTraceServiceRequest. protojson notes:
+# int64 nanos as strings, ids as hex strings, enums accepted numerically
+# (we render SpanKind / StatusCode as ints — protojson parsers accept
+# both name and number; numbers keep the schema closed over int columns).
+OTLP_JSON_SPAN_SCHEMA = (
+    "resourceSpans array<struct<"
+    "resource:struct<attributes:array<struct<key:string,value:struct<stringValue:string>>>>,"
+    "scopeSpans:array<struct<"
+    "scope:struct<name:string,version:string>,"
+    "spans:array<struct<"
+    "traceId:string,spanId:string,parentSpanId:string,name:string,kind:int,"
+    "startTimeUnixNano:string,endTimeUnixNano:string,"
+    "status:struct<code:int>,"
+    "attributes:array<struct<key:string,value:struct<stringValue:string>>>,"
+    "events:array<struct<timeUnixNano:string,name:string>>,"
+    "links:array<struct<traceId:string,spanId:string>>"
+    ">>>>>>"
+)
+
+
+def write_otlp_json_spans(
+    df: DataFrame,
+    path: str,
+    res_col: str = "res_idx",
+    scope_col: str | None = "scope_name",
+) -> None:
+    """Flat span rows -> OTLP-JSON trace capture (one
+    ExportTraceServiceRequest line per resource) — the protojson sibling
+    of otlp_pb.encode_export_trace_request, zero Python in the data path.
+
+    Expected flat columns (same surface read_pb_spans emits): ``res_col``
+    required; ``trace_id``/``span_id``/``parent_span_id`` hex strings,
+    ``name``, ``kind`` int, ``start/end_time_unix_nano`` long,
+    ``status_code`` int, optional ``attrs`` map<string,string>, optional
+    ``events`` array<struct<time_unix_nano,name>>, optional ``links``
+    array<struct<trace_id,span_id>>. Per-row nulls are OMITTED from the
+    JSON (to_json drops nulls = protojson absent-field convention)."""
+    cols = set(df.columns)
+    span_fields = [
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+    ]
+    if "parent_span_id" in cols:
+        span_fields.append(F.col("parent_span_id").alias("parentSpanId"))
+    span_fields.append(F.col("name").alias("name"))
+    if "kind" in cols:
+        span_fields.append(F.col("kind").cast("int").alias("kind"))
+    span_fields.append(
+        F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano")
+    )
+    if "end_time_unix_nano" in cols:
+        span_fields.append(
+            F.col("end_time_unix_nano").cast("string").alias("endTimeUnixNano")
+        )
+    if "status_code" in cols:
+        span_fields.append(
+            F.when(
+                F.col("status_code").isNotNull(),
+                F.struct(F.col("status_code").cast("int").alias("code")),
+            ).alias("status")
+        )
+    if "attrs" in cols:
+        span_fields.append(_kv_array(F.col("attrs")).alias("attributes"))
+    if "events" in cols:
+        span_fields.append(
+            F.transform(
+                "events",
+                lambda e: F.struct(
+                    e["time_unix_nano"].cast("string").alias("timeUnixNano"),
+                    e["name"].alias("name"),
+                ),
+            ).alias("events")
+        )
+    if "links" in cols:
+        span_fields.append(
+            F.transform(
+                "links",
+                lambda l: F.struct(
+                    l["trace_id"].alias("traceId"), l["span_id"].alias("spanId")
+                ),
+            ).alias("links")
+        )
+    scope = (
+        F.coalesce(F.col(scope_col), F.lit(""))
+        if scope_col and scope_col in cols
+        else F.lit("")
+    )
+    per_scope = (
+        df.select(
+            F.col(res_col).alias("_res"), scope.alias("_scope"),
+            F.struct(*span_fields).alias("_s"),
+        )
+        .groupBy("_res", "_scope")
+        .agg(F.collect_list("_s").alias("_spans"))
+    )
+    sl = F.struct(
+        F.struct(F.col("_scope").alias("name")).alias("scope"),
+        F.col("_spans").alias("spans"),
+    )
+    per_res = per_scope.groupBy("_res").agg(F.collect_list(sl).alias("_scopes"))
+    request = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.array().cast(
+                        "array<struct<key:string,value:struct<stringValue:string>>>"
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.col("_scopes").alias("scopeSpans"),
+            )
+        ).alias("resourceSpans")
+    )
+    per_res.select(F.to_json(request).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_otlp_json_spans(spark: SparkSession, path: str) -> DataFrame:
+    """OTLP-JSON trace capture -> flat span rows, SAME surface as
+    read_pb_spans (incl. the n_attrs/n_events/n_links convenience counts);
+    malformed lines quarantine as one res_idx=-1 row each."""
+    txt = spark.read.text(path).select(
+        F.input_file_name().alias("path"), F.col("value")
+    )
+    parsed = txt.select(
+        "path", "value", F.from_json("value", OTLP_JSON_SPAN_SCHEMA).alias("r")
+    )
+    empty_events = F.array().cast("array<struct<time_unix_nano:long,name:string>>")
+    empty_links = F.array().cast("array<struct<trace_id:string,span_id:string>>")
+    bad = parsed.where(
+        F.col("r").isNull() | F.col("r.resourceSpans").isNull()
+    ).select(
+        "path",
+        F.lit(-1).alias("res_idx"),
+        F.lit(None).cast("string").alias("scope_name"),
+        F.lit(None).cast("string").alias("trace_id"),
+        F.lit(None).cast("string").alias("span_id"),
+        F.lit(None).cast("string").alias("parent_span_id"),
+        F.concat(F.lit("__decode_error__: "), F.substring("value", 1, 80)).alias("name"),
+        F.lit(None).cast("int").alias("kind"),
+        F.lit(None).cast("long").alias("start_time_unix_nano"),
+        F.lit(None).cast("long").alias("end_time_unix_nano"),
+        F.lit(None).cast("int").alias("status_code"),
+        F.lit(0).alias("n_attrs"),
+        F.lit(0).alias("n_events"),
+        F.lit(0).alias("n_links"),
+        F.lit(None).cast("map<string,string>").alias("attrs"),
+        empty_events.alias("events"),
+        empty_links.alias("links"),
+    )
+    kvmap = lambda a: F.map_from_entries(  # noqa: E731
+        F.transform(a, lambda e: F.struct(e["key"], e["value"]["stringValue"]))
+    )
+    good = (
+        parsed.where(F.col("r.resourceSpans").isNotNull())
+        .select("path", F.posexplode("r.resourceSpans").alias("res_idx", "_rs"))
+        .select(
+            "path", "res_idx", F.explode_outer("_rs.scopeSpans").alias("_ss")
+        )
+        .select(
+            "path",
+            "res_idx",
+            F.col("_ss.scope.name").alias("scope_name"),
+            F.explode_outer("_ss.spans").alias("_sp"),
+        )
+        .select(
+            "path",
+            "res_idx",
+            "scope_name",
+            F.col("_sp.traceId").alias("trace_id"),
+            F.col("_sp.spanId").alias("span_id"),
+            F.col("_sp.parentSpanId").alias("parent_span_id"),
+            F.col("_sp.name").alias("name"),
+            F.col("_sp.kind").alias("kind"),
+            F.col("_sp.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
+            F.col("_sp.endTimeUnixNano").cast("long").alias("end_time_unix_nano"),
+            F.col("_sp.status.code").alias("status_code"),
+            F.coalesce(F.size("_sp.attributes"), F.lit(0)).alias("n_attrs"),
+            F.coalesce(F.size("_sp.events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.size("_sp.links"), F.lit(0)).alias("n_links"),
+            kvmap(F.col("_sp.attributes")).alias("attrs"),
+            F.coalesce(
+                F.transform(
+                    "_sp.events",
+                    lambda e: F.struct(
+                        e["timeUnixNano"].cast("long").alias("time_unix_nano"),
+                        e["name"].alias("name"),
+                    ),
+                ),
+                empty_events,
+            ).alias("events"),
+            F.coalesce(
+                F.transform(
+                    "_sp.links",
+                    lambda l: F.struct(
+                        l["traceId"].alias("trace_id"), l["spanId"].alias("span_id")
+                    ),
+                ),
+                empty_links,
+            ).alias("links"),
+        )
+    )
+    return good.unionByName(bad.select(*good.columns))

@@ -77,3 +77,83 @@ def test_otlp_json_plan_has_no_python(spark, tmp_path):
     write_otlp_json_logs(df, out)
     plan = read_otlp_json_logs(spark, out)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_otlp_json_spans_roundtrip_values(spark, tmp_path):
+    """Flat span rows -> line-sharded ExportTraceServiceRequest -> flat
+    rows: ids, kind, status, both timestamps, event names+times, link ids
+    and attr values all survive; per-row nulls (no parent, no end) stay
+    null."""
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_spans,
+        write_otlp_json_spans,
+    )
+
+    out = str(tmp_path / "tcap")
+    df = spark.createDataFrame(
+        [
+            (0, "scope-t", "ab" * 16, "01" * 8, "02" * 8, "op-a", 2,
+             1_700_000_000_000_000_001, 1_700_000_000_000_000_900, 1,
+             {"conv": "c1"},
+             [(1_700_000_000_000_000_001, "span.start"),
+              (1_700_000_000_000_000_900, "span.end")],
+             [("ab" * 16, "02" * 8)]),
+            (0, "scope-t", "cd" * 16, "03" * 8, None, "op-b", 1,
+             1_700_000_000_000_000_002, None, None, None, [], []),
+            (1, None, "ef" * 16, "04" * 8, None, "op-c", 4,
+             5, None, 0, {"k": "v"}, [], []),
+        ],
+        "res_idx int, scope_name string, trace_id string, span_id string, "
+        "parent_span_id string, name string, kind int, "
+        "start_time_unix_nano long, end_time_unix_nano long, status_code int, "
+        "attrs map<string,string>, "
+        "events array<struct<time_unix_nano:long,name:string>>, "
+        "links array<struct<trace_id:string,span_id:string>>",
+    )
+    write_otlp_json_spans(df, out)
+    rows = {r.span_id: r for r in read_otlp_json_spans(spark, out).collect()}
+    assert len(rows) == 3
+    a = rows["01" * 8]
+    assert a.trace_id == "ab" * 16 and a.parent_span_id == "02" * 8
+    assert a.kind == 2 and a.status_code == 1
+    assert a.start_time_unix_nano == 1_700_000_000_000_000_001
+    assert a.end_time_unix_nano == 1_700_000_000_000_000_900
+    assert dict(a.attrs) == {"conv": "c1"}
+    assert [e.name for e in a.events] == ["span.start", "span.end"]
+    assert a.events[1].time_unix_nano == 1_700_000_000_000_000_900
+    assert a.links[0].trace_id == "ab" * 16 and a.links[0].span_id == "02" * 8
+    assert a.n_attrs == 1 and a.n_events == 2 and a.n_links == 1
+    b = rows["03" * 8]
+    assert b.parent_span_id is None and b.end_time_unix_nano is None
+    assert b.status_code is None and b.n_events == 0
+    c = rows["04" * 8]
+    assert c.status_code == 0 and dict(c.attrs) == {"k": "v"}
+    # one request line per resource
+    assert spark.read.text(out).count() == 2
+
+
+def test_otlp_json_spans_malformed_and_no_python(spark, tmp_path):
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_spans,
+        write_otlp_json_spans,
+    )
+
+    out = str(tmp_path / "tcap2")
+    df = spark.createDataFrame(
+        [(0, "t" * 32, "s" * 16, "op", 1, None, None, None)],
+        "res_idx int, trace_id string, span_id string, name string, "
+        "start_time_unix_nano long, attrs map<string,string>, "
+        "events array<struct<time_unix_nano:long,name:string>>, "
+        "links array<struct<trace_id:string,span_id:string>>",
+    )
+    write_otlp_json_spans(df, out)
+    with open(f"{out}/garbage.txt", "w") as f:
+        f.write("{not a request}\n")
+    reader = read_otlp_json_spans(spark, out)
+    rows = reader.collect()
+    good = [r for r in rows if r.res_idx >= 0]
+    bad = [r for r in rows if r.res_idx == -1]
+    assert len(good) == 1 and good[0].name == "op"
+    assert len(bad) == 1 and bad[0].name.startswith("__decode_error__")
+    plan = reader._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
