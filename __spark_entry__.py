@@ -1627,6 +1627,70 @@ def q_pipeline_pb_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_pipeline_otlp_json_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The protojson sibling of pipeline_pb_metrics_roundtrip, ZERO
+    Python: the same offset-bearing exp-histogram rollup is captured as
+    line-sharded ExportMetricsServiceRequest JSON (uint64-as-string,
+    positive/negative DataPointBuckets with offsets) via to_json, decoded
+    with from_json, and the decoded fields returned. Shares the .pb
+    sibling's oracle verbatim — equality iff protojson encode∘decode == id
+    on every exp-hist field including offsets and the attr value."""
+    import hashlib
+    import tempfile
+
+    from otel_arrow_adapter_spark.operators.metrics_dp import exp_histogram_rollup
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_metrics,
+        write_otlp_json_metrics,
+    )
+
+    pts = _metric_points(spark, sf_dir).withColumn(
+        "value_delta", F.col("metric_value") - F.lit(1000)
+    )
+    eh = exp_histogram_rollup(pts, max_buckets=18, value_col="value_delta").select(
+        F.lit(0).alias("res_idx"),
+        "metric_name",
+        F.coalesce("metric_unit", F.lit("")).alias("metric_unit"),
+        F.lit("exponential_histogram").alias("metric_type"),
+        F.lit(1_700_000_000_000_000_000).alias("time_unix_nano"),
+        "count",
+        F.col("sum").cast("double").alias("sum"),
+        "scale",
+        "zero_count",
+        "positive_offset",
+        F.nullif(F.array_join("positive_bucket_counts", ","), F.lit("")).alias(
+            "positive_bucket_counts"
+        ),
+        "negative_offset",
+        F.nullif(F.array_join("negative_bucket_counts", ","), F.lit("")).alias(
+            "negative_bucket_counts"
+        ),
+        F.create_map(
+            F.lit("unit"), F.coalesce("metric_unit", F.lit(""))
+        ).alias("attrs"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oaas_json_mcapture_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    write_otlp_json_metrics(eh, out)  # overwrite mode: idempotent re-runs
+    decoded = read_otlp_json_metrics(spark, out)
+    return decoded.where(F.col("res_idx") >= 0).select(
+        "metric_name",
+        "metric_unit",
+        "count",
+        F.col("sum").cast("double").alias("sum"),
+        "scale",
+        "zero_count",
+        "positive_offset",
+        F.coalesce("positive_bucket_counts", F.lit("")).alias("positive_bucket_counts"),
+        "negative_offset",
+        F.coalesce("negative_bucket_counts", F.lit("")).alias("negative_bucket_counts"),
+        "n_attrs",
+        F.col("attrs")["unit"].alias("attr_unit"),
+    )
+
+
 def q_pipeline_otlp_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/S8 OTLP-JSON capture fidelity, oracle-gated, ZERO Python in the
     data path: log-classified turns (+ a tool attribute) -> line-sharded
@@ -1936,6 +2000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pb_metrics_roundtrip": q_pipeline_pb_metrics_roundtrip,
     "pipeline_otlp_json_roundtrip": q_pipeline_otlp_json_roundtrip,
     "pipeline_otlp_json_traces_roundtrip": q_pipeline_otlp_json_traces_roundtrip,
+    "pipeline_otlp_json_metrics_roundtrip": q_pipeline_otlp_json_metrics_roundtrip,
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -3242,6 +3307,7 @@ ORDER BY rank LIMIT 10
 # the protojson traces round-trip computes the identical rollup through a
 # different codec, so the .pb sibling's oracle applies verbatim
 ORACLES["pipeline_otlp_json_traces_roundtrip"] = ORACLES["pipeline_pb_traces_roundtrip"]
+ORACLES["pipeline_otlp_json_metrics_roundtrip"] = ORACLES["pipeline_pb_metrics_roundtrip"]
 
 ORACLES["emb_ann_pairs_multiprobe"] = _multiprobe_oracle()
 ORACLES["emb_ivf_search"] = _IVF_SEARCH_ORACLE

@@ -386,3 +386,335 @@ def read_otlp_json_spans(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return good.unionByName(bad.select(*good.columns))
+
+
+# from_json schema for one ExportMetricsServiceRequest — all five data
+# families (gauge / sum / histogram / exponentialHistogram / summary).
+# protojson: uint64/int64 scalars (timeUnixNano, count, zeroCount, asInt,
+# bucketCounts elements) render as JSON STRINGS; doubles as numbers;
+# enums numerically.
+_KV = "array<struct<key:string,value:struct<stringValue:string>>>"
+_NUM_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,"
+    f"asDouble:double,asInt:string,attributes:{_KV}>"
+)
+_HIST_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,count:string,"
+    f"sum:double,bucketCounts:array<string>,explicitBounds:array<double>,attributes:{_KV}>"
+)
+_EXP_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,count:string,"
+    "sum:double,scale:int,zeroCount:string,"
+    "positive:struct<offset:int,bucketCounts:array<string>>,"
+    "negative:struct<offset:int,bucketCounts:array<string>>,"
+    f"attributes:{_KV}>"
+)
+_SUM_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,count:string,"
+    "sum:double,quantileValues:array<struct<quantile:double,value:double>>,"
+    f"attributes:{_KV}>"
+)
+OTLP_JSON_METRIC_SCHEMA = (
+    "resourceMetrics array<struct<"
+    f"resource:struct<attributes:{_KV}>,"
+    "scopeMetrics:array<struct<"
+    "scope:struct<name:string,version:string>,"
+    "metrics:array<struct<"
+    "name:string,unit:string,"
+    f"gauge:struct<dataPoints:array<{_NUM_DP}>>,"
+    f"sum:struct<aggregationTemporality:int,isMonotonic:boolean,dataPoints:array<{_NUM_DP}>>,"
+    f"histogram:struct<aggregationTemporality:int,dataPoints:array<{_HIST_DP}>>,"
+    f"exponentialHistogram:struct<aggregationTemporality:int,dataPoints:array<{_EXP_DP}>>,"
+    f"summary:struct<dataPoints:array<{_SUM_DP}>>"
+    ">>>>>>"
+)
+
+# full flat metric-DP column set (the read_pb_metrics surface, minus
+# path/res_idx/scope_name/metric identity); the writer null-fills absent
+# ones so callers pass only what their family uses
+_METRIC_DP_COLS: dict[str, str] = {
+    "temporality": "int",
+    "is_monotonic": "boolean",
+    "start_time_unix_nano": "long",
+    "time_unix_nano": "long",
+    "value_double": "double",
+    "value_int": "long",
+    "count": "long",
+    "sum": "double",
+    "bucket_counts": "string",
+    "explicit_bounds": "string",
+    "scale": "int",
+    "zero_count": "long",
+    "positive_offset": "int",
+    "positive_bucket_counts": "string",
+    "negative_offset": "int",
+    "negative_bucket_counts": "string",
+    "quantiles": "string",
+    "attrs": "map<string,string>",
+}
+
+
+def _csv_strings(col):
+    """'1,0,2' -> ['1','0','2'] (protojson uint64 list = string elements);
+    null/empty -> null (field omitted)."""
+    return F.split(F.nullif(col, F.lit("")), ",")
+
+
+def write_otlp_json_metrics(
+    df: DataFrame,
+    path: str,
+    res_col: str = "res_idx",
+    scope_col: str | None = "scope_name",
+) -> None:
+    """Flat metric-DP rows -> OTLP-JSON metrics capture (one
+    ExportMetricsServiceRequest line per resource), all five families —
+    the protojson sibling of otlp_pb.encode_export_metrics_request, zero
+    Python. Input = the read_pb_metrics flat surface: ``metric_type`` in
+    {gauge,sum,histogram,exponential_histogram,summary} picks the oneof;
+    bucket lists arrive as the same CSV strings the .pb reader emits.
+    DPs group into metrics by (resource, name, unit, type, temporality,
+    monotonicity), metrics into one request line per resource."""
+    cols = set(df.columns)
+    for c, t in _METRIC_DP_COLS.items():
+        if c not in cols:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    scope = (
+        F.coalesce(F.col(scope_col), F.lit(""))
+        if scope_col and scope_col in cols
+        else F.lit("")
+    )
+    dp = F.struct(
+        F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
+        F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
+        F.col("value_double").alias("asDouble"),
+        F.col("value_int").cast("string").alias("asInt"),
+        F.col("count").cast("string").alias("count"),
+        F.col("sum").alias("sum"),
+        _csv_strings(F.col("bucket_counts")).alias("bucketCounts"),
+        F.transform(
+            F.split(F.nullif(F.col("explicit_bounds"), F.lit("")), ","),
+            lambda b: b.cast("double"),
+        ).alias("explicitBounds"),
+        F.col("scale").alias("scale"),
+        F.col("zero_count").cast("string").alias("zeroCount"),
+        F.when(
+            F.col("positive_offset").isNotNull()
+            | F.col("positive_bucket_counts").isNotNull(),
+            F.struct(
+                F.col("positive_offset").alias("offset"),
+                _csv_strings(F.col("positive_bucket_counts")).alias("bucketCounts"),
+            ),
+        ).alias("positive"),
+        F.when(
+            F.col("negative_offset").isNotNull()
+            | F.col("negative_bucket_counts").isNotNull(),
+            F.struct(
+                F.col("negative_offset").alias("offset"),
+                _csv_strings(F.col("negative_bucket_counts")).alias("bucketCounts"),
+            ),
+        ).alias("negative"),
+        F.transform(
+            F.split(F.nullif(F.col("quantiles"), F.lit("")), ","),
+            lambda q: F.struct(
+                F.split(q, ":")[0].cast("double").alias("quantile"),
+                F.split(q, ":")[1].cast("double").alias("value"),
+            ),
+        ).alias("quantileValues"),
+        _kv_array(F.col("attrs")).alias("attributes"),
+    )
+    per_metric = (
+        df.select(
+            F.col(res_col).alias("_res"),
+            scope.alias("_scope"),
+            F.col("metric_name").alias("_name"),
+            F.coalesce(F.col("metric_unit"), F.lit("")).alias("_unit"),
+            F.col("metric_type").alias("_type"),
+            F.col("temporality").alias("_temp"),
+            F.col("is_monotonic").alias("_mono"),
+            dp.alias("_dp"),
+        )
+        .groupBy("_res", "_scope", "_name", "_unit", "_type", "_temp", "_mono")
+        .agg(F.collect_list("_dp").alias("_dps"))
+    )
+    t = F.col("_type")
+    metric = F.struct(
+        F.col("_name").alias("name"),
+        F.col("_unit").alias("unit"),
+        F.when(t == "gauge", F.struct(F.col("_dps").alias("dataPoints"))).alias("gauge"),
+        F.when(
+            t == "sum",
+            F.struct(
+                F.col("_temp").alias("aggregationTemporality"),
+                F.col("_mono").alias("isMonotonic"),
+                F.col("_dps").alias("dataPoints"),
+            ),
+        ).alias("sum"),
+        F.when(
+            t == "histogram",
+            F.struct(
+                F.col("_temp").alias("aggregationTemporality"),
+                F.col("_dps").alias("dataPoints"),
+            ),
+        ).alias("histogram"),
+        F.when(
+            t == "exponential_histogram",
+            F.struct(
+                F.col("_temp").alias("aggregationTemporality"),
+                F.col("_dps").alias("dataPoints"),
+            ),
+        ).alias("exponentialHistogram"),
+        F.when(t == "summary", F.struct(F.col("_dps").alias("dataPoints"))).alias(
+            "summary"
+        ),
+    )
+    per_scope = per_metric.groupBy("_res", "_scope").agg(
+        F.collect_list(metric).alias("_metrics")
+    )
+    sm = F.struct(
+        F.struct(F.col("_scope").alias("name")).alias("scope"),
+        F.col("_metrics").alias("metrics"),
+    )
+    per_res = per_scope.groupBy("_res").agg(F.collect_list(sm).alias("_scopes"))
+    request = F.struct(
+        F.array(
+            F.struct(
+                F.struct(F.array().cast(_KV).alias("attributes")).alias("resource"),
+                F.col("_scopes").alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    per_res.select(F.to_json(request).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_otlp_json_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """OTLP-JSON metrics capture -> flat DP rows, SAME surface as
+    read_pb_metrics (bucket lists as CSV strings, quantiles as 'q:v'
+    pairs, attrs as a map); malformed lines quarantine as res_idx=-1."""
+    txt = spark.read.text(path).select(
+        F.input_file_name().alias("path"), F.col("value")
+    )
+    parsed = txt.select(
+        "path", "value", F.from_json("value", OTLP_JSON_METRIC_SCHEMA).alias("r")
+    )
+    kvmap = lambda a: F.map_from_entries(  # noqa: E731
+        F.transform(a, lambda e: F.struct(e["key"], e["value"]["stringValue"]))
+    )
+
+    def flat(mtype, d, **f):
+        """Uniform flat-DP struct; per-family fields via kwargs, rest null."""
+        def g(name, typ):
+            e = f.get(name)
+            return (e if e is not None else F.lit(None).cast(typ)).alias(name)
+
+        return F.struct(
+            F.lit(mtype).alias("metric_type"),
+            g("temporality", "int"),
+            g("is_monotonic", "boolean"),
+            d["startTimeUnixNano"].cast("long").alias("start_time_unix_nano"),
+            d["timeUnixNano"].cast("long").alias("time_unix_nano"),
+            g("value_double", "double"),
+            g("value_int", "long"),
+            g("count", "long"),
+            g("sum", "double"),
+            g("bucket_counts", "string"),
+            g("explicit_bounds", "string"),
+            g("scale", "int"),
+            g("zero_count", "long"),
+            g("positive_offset", "int"),
+            g("positive_bucket_counts", "string"),
+            g("negative_offset", "int"),
+            g("negative_bucket_counts", "string"),
+            g("quantiles", "string"),
+            F.coalesce(F.size(d["attributes"]), F.lit(0)).alias("n_attrs"),
+            kvmap(d["attributes"]).alias("attrs"),
+        )
+
+    m = F.col("_m")
+    empty = "array<struct<metric_type:string,temporality:int,is_monotonic:boolean," \
+        "start_time_unix_nano:long,time_unix_nano:long,value_double:double," \
+        "value_int:long,count:long,sum:double,bucket_counts:string," \
+        "explicit_bounds:string,scale:int,zero_count:long,positive_offset:int," \
+        "positive_bucket_counts:string,negative_offset:int," \
+        "negative_bucket_counts:string,quantiles:string,n_attrs:int," \
+        "attrs:map<string,string>>>"
+    fams = [
+        F.transform(
+            m["gauge"]["dataPoints"],
+            lambda d: flat("gauge", d, value_double=d["asDouble"],
+                           value_int=d["asInt"].cast("long")),
+        ),
+        F.transform(
+            m["sum"]["dataPoints"],
+            lambda d: flat("sum", d, value_double=d["asDouble"],
+                           value_int=d["asInt"].cast("long"),
+                           temporality=m["sum"]["aggregationTemporality"],
+                           is_monotonic=m["sum"]["isMonotonic"]),
+        ),
+        F.transform(
+            m["histogram"]["dataPoints"],
+            lambda d: flat("histogram", d,
+                           temporality=m["histogram"]["aggregationTemporality"],
+                           count=d["count"].cast("long"), sum=d["sum"],
+                           bucket_counts=F.array_join(d["bucketCounts"], ","),
+                           explicit_bounds=F.array_join(
+                               F.transform(d["explicitBounds"],
+                                           lambda b: b.cast("string")), ",")),
+        ),
+        F.transform(
+            m["exponentialHistogram"]["dataPoints"],
+            lambda d: flat("exponential_histogram", d,
+                           temporality=m["exponentialHistogram"]["aggregationTemporality"],
+                           count=d["count"].cast("long"), sum=d["sum"],
+                           scale=d["scale"], zero_count=d["zeroCount"].cast("long"),
+                           positive_offset=d["positive"]["offset"],
+                           positive_bucket_counts=F.array_join(
+                               d["positive"]["bucketCounts"], ","),
+                           negative_offset=d["negative"]["offset"],
+                           negative_bucket_counts=F.array_join(
+                               d["negative"]["bucketCounts"], ",")),
+        ),
+        F.transform(
+            m["summary"]["dataPoints"],
+            lambda d: flat("summary", d,
+                           count=d["count"].cast("long"), sum=d["sum"],
+                           quantiles=F.array_join(
+                               F.transform(
+                                   d["quantileValues"],
+                                   lambda q: F.concat_ws(
+                                       ":", q["quantile"].cast("string"),
+                                       q["value"].cast("string"))), ",")),
+        ),
+    ]
+    dps = F.concat(*[F.coalesce(fam, F.array().cast(empty)) for fam in fams])
+    good = (
+        parsed.where(F.col("r.resourceMetrics").isNotNull())
+        .select("path", F.posexplode("r.resourceMetrics").alias("res_idx", "_rm"))
+        .select("path", "res_idx", F.explode_outer("_rm.scopeMetrics").alias("_sm"))
+        .select(
+            "path", "res_idx",
+            F.col("_sm.scope.name").alias("scope_name"),
+            F.explode_outer("_sm.metrics").alias("_m"),
+        )
+        .select(
+            "path", "res_idx", "scope_name",
+            F.col("_m.name").alias("metric_name"),
+            F.col("_m.unit").alias("metric_unit"),
+            F.explode_outer(dps).alias("_dp"),
+        )
+        .select("path", "res_idx", "scope_name", "metric_name", "metric_unit", "_dp.*")
+    )
+    bad = parsed.where(
+        F.col("r").isNull() | F.col("r.resourceMetrics").isNull()
+    ).select(
+        "path",
+        F.lit(-1).alias("res_idx"),
+        F.lit(None).cast("string").alias("scope_name"),
+        F.concat(
+            F.lit("__decode_error__: "), F.substring("value", 1, 80)
+        ).alias("metric_name"),
+        F.lit(None).cast("string").alias("metric_unit"),
+        F.explode(
+            F.array(F.lit(None).cast(empty.replace("array<", "", 1)[:-1]))
+        ).alias("_dp"),
+    ).select("path", "res_idx", "scope_name", "metric_name", "metric_unit", "_dp.*")
+    return good.unionByName(bad.select(*good.columns))

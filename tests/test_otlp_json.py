@@ -157,3 +157,88 @@ def test_otlp_json_spans_malformed_and_no_python(spark, tmp_path):
     assert len(bad) == 1 and bad[0].name.startswith("__decode_error__")
     plan = reader._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_otlp_json_metrics_roundtrip_all_families(spark, tmp_path):
+    """All five data families survive protojson encode∘decode on the
+    read_pb_metrics flat surface (bucket CSVs, quantile pairs, attrs)."""
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_metrics,
+        write_otlp_json_metrics,
+    )
+
+    rows = [
+        dict(res_idx=0, metric_name="cpu", metric_unit="1", metric_type="gauge",
+             time_unix_nano=1_700_000_000_000_000_001, value_double=1.5,
+             attrs={"host": "a"}),
+        dict(res_idx=0, metric_name="reqs", metric_unit="1", metric_type="sum",
+             temporality=2, is_monotonic=True,
+             time_unix_nano=1_700_000_000_000_000_002, value_int=42),
+        dict(res_idx=0, metric_name="lat", metric_unit="ms", metric_type="histogram",
+             temporality=2, time_unix_nano=3, count=7, sum=21.5,
+             bucket_counts="1,2,4", explicit_bounds="0.5,1.0", attrs={"u": "ms"}),
+        dict(res_idx=1, metric_name="lat2", metric_unit="ns",
+             metric_type="exponential_histogram", temporality=2, time_unix_nano=4,
+             count=9, sum=100.25, scale=1, zero_count=2, positive_offset=3,
+             positive_bucket_counts="1,0,2", negative_offset=-1,
+             negative_bucket_counts="5"),
+        dict(res_idx=1, metric_name="q", metric_unit="s", metric_type="summary",
+             time_unix_nano=5, count=4, sum=8.0, quantiles="0.5:1.25,0.99:2.5"),
+    ]
+    schema = (
+        "res_idx int, metric_name string, metric_unit string, metric_type string, "
+        "temporality int, is_monotonic boolean, time_unix_nano long, "
+        "value_double double, value_int long, count long, sum double, "
+        "bucket_counts string, explicit_bounds string, scale int, zero_count long, "
+        "positive_offset int, positive_bucket_counts string, negative_offset int, "
+        "negative_bucket_counts string, quantiles string, attrs map<string,string>"
+    )
+    cols = [c.split()[0] for c in schema.split(", ")]
+    df = spark.createDataFrame([tuple(r.get(c) for c in cols) for r in rows], schema)
+    out = str(tmp_path / "mcap")
+    write_otlp_json_metrics(df, out)
+    dec = {r.metric_name: r for r in read_otlp_json_metrics(spark, out).collect()}
+    assert len(dec) == 5
+    g = dec["cpu"]
+    assert g.metric_type == "gauge" and g.value_double == 1.5
+    assert dict(g.attrs) == {"host": "a"} and g.n_attrs == 1
+    assert g.time_unix_nano == 1_700_000_000_000_000_001
+    s = dec["reqs"]
+    assert s.metric_type == "sum" and s.value_int == 42
+    assert s.temporality == 2 and s.is_monotonic is True
+    h = dec["lat"]
+    assert h["count"] == 7 and h["sum"] == 21.5
+    assert h.bucket_counts == "1,2,4" and h.explicit_bounds == "0.5,1.0"
+    e = dec["lat2"]
+    assert e.scale == 1 and e.zero_count == 2
+    assert e.positive_offset == 3 and e.positive_bucket_counts == "1,0,2"
+    assert e.negative_offset == -1 and e.negative_bucket_counts == "5"
+    q = dec["q"]
+    assert q.quantiles == "0.5:1.25,0.99:2.5" and q["count"] == 4
+    # one request line per resource
+    assert spark.read.text(out).count() == 2
+
+
+def test_otlp_json_metrics_malformed_and_no_python(spark, tmp_path):
+    from otel_arrow_adapter_spark.sources.otlp_json import (
+        read_otlp_json_metrics,
+        write_otlp_json_metrics,
+    )
+
+    out = str(tmp_path / "mcap2")
+    df = spark.createDataFrame(
+        [(0, "m", "1", "gauge", 1, 2.0)],
+        "res_idx int, metric_name string, metric_unit string, "
+        "metric_type string, time_unix_nano long, value_double double",
+    )
+    write_otlp_json_metrics(df, out)
+    with open(f"{out}/garbage.txt", "w") as f:
+        f.write("nope\n")
+    reader = read_otlp_json_metrics(spark, out)
+    rows = reader.collect()
+    good = [r for r in rows if r.res_idx >= 0]
+    bad = [r for r in rows if r.res_idx == -1]
+    assert len(good) == 1 and good[0].value_double == 2.0
+    assert len(bad) == 1 and bad[0].metric_name.startswith("__decode_error__")
+    plan = reader._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
