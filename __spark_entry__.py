@@ -297,6 +297,29 @@ def q_pipeline_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, completion) pair mining from chat logs: each user turn
+    paired with the immediately following assistant turn under stable turn
+    ordering — ONE window shuffle on conv_id (the ordering invariant's own
+    partitioning), token counts per side. Oracle: the same LEAD window in
+    DuckDB."""
+    from otel_arrow_adapter_spark.functions.conversations import sft_pairs
+
+    return sft_pairs(_transcripts(spark, sf_dir))
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LEVEL dedup groups (a duplicated conversation
+    duplicates every turn — turn/doc-grain dedup undercounts): digit-
+    stripped template fingerprint summed from position-encoded per-turn
+    md5 terms, so no conversation is ever materialized (no collect_list,
+    no window); keep-first = min conv_id per (fp, n_turns) group. Oracle:
+    identical two-level GROUP BY in DuckDB ('0x'||hex UBIGINT terms)."""
+    from otel_arrow_adapter_spark.functions.conversations import conv_dedup
+
+    return conv_dedup(_transcripts(spark, sf_dir))
+
+
 def q_pipeline_dict_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: dictionary table for the tool column (sorted codes)."""
     from otel_arrow_adapter_spark.operators.normalize import ranked_dim
@@ -2011,6 +2034,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantized_topk": q_emb_quantized_topk,
     "emb_dup_clusters": q_emb_dup_clusters,
     "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
+    "conv_sft_pairs": q_conv_sft_pairs,
+    "conv_dedup": q_conv_dedup,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
     # -- the rest --
@@ -2875,6 +2900,32 @@ SELECT event_type, q,
   """ + _exp_quantile_edges_sql(12, 0)[0] + """ AS est_lo,
   """ + _exp_quantile_edges_sql(12, 0)[1] + """ AS est_hi
 FROM r JOIN qd ON rn = greatest(CAST(ceil(q * cnt) AS BIGINT), 1)
+""",
+    "conv_sft_pairs": duckdb_transcripts_cte() + """,
+led AS (
+  SELECT conv_id, turn_idx, role, text,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ntext
+  FROM transcripts
+)
+SELECT conv_id, turn_idx AS prompt_turn_idx, text AS prompt, ntext AS completion,
+  (CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_prompt_tokens,
+  (CASE WHEN length(trim(ntext)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(ntext), '\\s+')) END)::BIGINT AS n_completion_tokens
+FROM led WHERE role = 'user' AND nrole = 'assistant'
+""",
+    "conv_dedup": duckdb_transcripts_cte() + """,
+fps AS (
+  SELECT conv_id,
+    sum(CAST('0x' || substr(md5(CAST(turn_idx AS VARCHAR) || ':' ||
+          regexp_replace(text, '[0-9]+', '', 'g')), 1, 15) AS UBIGINT)) AS fp_sum,
+    count(*) AS n_turns
+  FROM transcripts GROUP BY conv_id
+)
+SELECT min(conv_id) AS rep_conv_id, count(*) AS n_convs, n_turns,
+       CAST(fp_sum AS VARCHAR) AS fp
+FROM fps GROUP BY fp_sum, n_turns
 """,
     "events_latency_quantiles": """
 SELECT event_type, count(*) AS n,
