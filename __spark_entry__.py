@@ -1176,6 +1176,81 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(d, n=2)
 
 
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the testdata
+    corpus is PII-free, so the redaction query plants known instances as a
+    pure function of doc_id; the oracle replays the identical augmentation
+    in SQL). doc_id%5 -> an email, %7 -> a phone, %11 -> an IPv4."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    email = F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com"))
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad(F.pmod(did * 7, F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(did * 31, F.lit(10000)).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        F.pmod(did, F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(did * 3, F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(did * 5, F.lit(256)).cast("string"),
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(F.pmod(did, F.lit(5)) == 0, email).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(7)) == 0, phone).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(11)) == 0, ip).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"), "lang")
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (StarCoder-style pre-training pass): mask emails / IPv4s /
+    phone numbers with typed placeholders + per-category audit counts.
+    Chained JVM-side regexp_replace, zero Python, zero shuffle; the same
+    RE2-safe regexes replay verbatim in the DuckDB oracle."""
+    from otel_arrow_adapter_spark.functions.text import pii_counts, redact_pii
+
+    d = _docs_with_pii(spark, sf_dir)
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 n-gram-overlap protocol, n=8):
+    corpus docs sharing any word 8-gram with the eval set. Eval set =
+    documents with doc_id%10==0 (so docs_plus's planted exact copies and
+    the %70 near-dup tails are guaranteed hits). Broadcast-join shape:
+    the fact side never sort-merges."""
+    from otel_arrow_adapter_spark.functions.dedup import ngram_contamination
+
+    bench = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    return ngram_contamination(_docs_plus(spark, sf_dir), bench, n=8)
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: deterministic md5-hash keep/drop with
+    per-language rates (en 50%, de/fr 25%, es/zh 10%) — reproducible
+    membership as a pure function of doc_id, a plain pushed-down filter
+    (no RNG state, no shuffle, rejected rows never materialize)."""
+    from otel_arrow_adapter_spark.functions.text import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+    return stratified_sample(d, "lang", rates).select("doc_id", "lang")
+
+
 def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized brute-force top-10: per-dim symmetric scales
     (O(dim) global state, broadcast back), floor(x/s*127+0.5) codes,
@@ -2024,6 +2099,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_otlp_json_roundtrip": q_pipeline_otlp_json_roundtrip,
     "pipeline_otlp_json_traces_roundtrip": q_pipeline_otlp_json_traces_roundtrip,
     "pipeline_otlp_json_metrics_roundtrip": q_pipeline_otlp_json_metrics_roundtrip,
+    # -- corpus-curation additions (new in late r5: never driver-gated) --
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_stratified_sample": q_doc_stratified_sample,
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -2942,6 +3021,79 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
   length(text)::BIGINT AS n_chars_actual
 FROM documents
+""",
+    # PII scrub: identical augmentation + identical RE2-safe regexes,
+    # replacement order email -> ip -> phone (innermost-out below)
+    "doc_pii_redact": """
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+    # decontamination: distinct word 8-grams, eval set = doc_id%10=0 base docs
+    "doc_decontaminate": _DOCS_PLUS_SQL + """,
+toks AS (
+  SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM docs_plus
+),
+g8 AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS gram
+    FROM toks
+  )
+),
+btoks AS (
+  SELECT string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE doc_id % 10 = 0
+),
+bg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS gram
+    FROM btoks
+  )
+)
+SELECT g8.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM g8 JOIN bg USING (gram)
+GROUP BY g8.doc_id
+""",
+    # stratified sampling: md5-uint48 bucket vs per-language floor(rate*1e4)
+    "doc_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
+           % 10000 AS BIGINT)
+  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500
+              WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000 ELSE 0 END
 """,
     "doc_boilerplate_ngrams": """
 WITH toks AS (

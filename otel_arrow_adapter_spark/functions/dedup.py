@@ -413,3 +413,35 @@ def simhash_near_dups(
         .select("doc_a", "doc_b", "hamming")
     )
     return owned_result(out, sig)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    one word n-gram with an evaluation set (the GPT-3/PaLM 13-gram-overlap
+    protocol, here parameterized; default n=8). Returns
+    (doc_id, n_hit_grams) for contaminated documents only, where
+    n_hit_grams counts DISTINCT overlapping n-grams.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    benchmark's distinct n-gram set is broadcast — the corpus side is one
+    explode + broadcast-hash semi-join + map-side-combined groupBy(doc_id);
+    the only shuffle is at doc_id grain over the (rare) hits. Never an
+    all-pairs or sort-merge join against the fact table.
+    """
+    bench_grams = benchmark.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hit_grams"))
+    )

@@ -102,14 +102,18 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle set (distinct)."""
+    """Word k-gram shingle set (distinct). Documents shorter than ``k``
+    tokens yield an empty array (guarded: ``F.sequence(1, 0)`` would
+    descend, and under ANSI the out-of-range ``element_at`` would throw)."""
     toks = tokens(normalize_text(text))
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
-    return F.array_distinct(grams)
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_array(text: Column, n: int = 3) -> Column:
@@ -181,6 +185,64 @@ def repetition_scores(docs: DataFrame, n: int = 2, text_col: str = "text") -> Da
         F.round(top_frac, 6).alias("top_ngram_frac"),
         (frac_dup <= 0.2).alias("keep"),
     )
+
+
+# PII patterns, applied in this order (email first so its local-part digits
+# never feed the numeric patterns). Deliberately RE2-safe (no backreferences
+# or lookaround) so the DuckDB oracle runs the SAME pattern verbatim; Java
+# and RE2 agree on leftmost+greedy matching for this grammar.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails / IPv4 addresses / US-style phone numbers with typed
+    placeholder tokens — the standard pre-training scrub (e.g. BigCode's
+    StarCoder PII pass). Pure chained ``regexp_replace``: JVM-side,
+    whole-stage codegen, zero Python, and the identical regexes replay in
+    DuckDB for the oracle. Order is PII_PATTERNS order (emails may contain
+    digit runs; the numeric patterns see the already-masked string)."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts on the ORIGINAL text (audit signal —
+    how much PII a source emits, independent of masking order)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    denom: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixture knob of
+    a pretraining pipeline (e.g. keep 50% of web text, 10% of low-resource
+    scrapes). Membership is a pure function of the row id: keep when
+    ``md5(id)[0:12] as uint48 mod denom < rate*denom``. No RNG state, no
+    driver coordination, reproducible across engines and re-runs, and a
+    plain filter — pushes below any downstream shuffle, never materializes
+    the rejected rows. Resolution is 1/denom."""
+    u = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast("long"),
+        F.lit(denom),
+    )
+    rate = F.lit(float(default_rate))
+    for key, val in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == key, F.lit(float(val))).otherwise(rate)
+    return df.where(u < F.floor(rate * denom).cast("long"))
 
 
 def pack_offsets(

@@ -593,3 +593,77 @@ def test_quantize_embeddings_bounds_and_recall(spark):
     exact = {r.vec_id for r in cosine_topk(e, query_vec_id=0, k=10).collect()}
     quant = {r.vec_id for r in quantized_cosine_topk(e, query_vec_id=0, k=10).collect()}
     assert len(exact & quant) >= 8  # int8 SQ distorts cosine by <1e-2 at dim 64
+
+
+def test_redact_pii_known_strings(spark):
+    from otel_arrow_adapter_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.co.uk now"),
+            (2, "call 555-123-4567 or 555.123.4567"),
+            (3, "from 10.0.3.44 and 192.168.1.1."),
+            (4, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("red"),
+            counts["email"].alias("ne"),
+            counts["phone"].alias("np"),
+            counts["ip"].alias("ni"),
+        ).collect()
+    }
+    assert rows[1]["red"] == "mail <EMAIL> now" and rows[1]["ne"] == 1
+    assert rows[2]["red"] == "call <PHONE> or <PHONE>" and rows[2]["np"] == 2
+    assert rows[3]["red"] == "from <IP> and <IP>." and rows[3]["ni"] == 2
+    assert rows[4]["red"] == "no pii here at all"
+    assert (rows[4]["ne"], rows[4]["np"], rows[4]["ni"]) == (0, 0, 0)
+
+
+def test_ngram_contamination_flags_overlap_only(spark):
+    from otel_arrow_adapter_spark.functions.dedup import ngram_contamination
+
+    words = " ".join(f"w{i}" for i in range(12))
+    clean = " ".join(f"c{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, words + " extra tail tokens here"),  # shares 8-grams
+            (2, clean),  # disjoint vocabulary
+            (3, "short doc"),  # < n tokens: no grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, words)], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hit_grams"] for r in ngram_contamination(docs, bench, n=8).collect()}
+    assert 1 in out and out[1] == 5  # 12 tokens -> 5 dist. 8-grams shared
+    assert 2 not in out and 3 not in out
+
+
+def test_stratified_sample_deterministic_and_gated(spark):
+    from otel_arrow_adapter_spark.functions.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(200)],
+        "doc_id long, stratum string",
+    )
+    full = stratified_sample(df, "stratum", {"keep": 1.0}).collect()
+    # rate 1.0 keeps every member of the stratum; absent strata use default 0
+    assert sorted(r["doc_id"] for r in full) == [i for i in range(200) if i % 2 == 0]
+    half_a = {r["doc_id"] for r in stratified_sample(df, "stratum", {"keep": 0.5}).collect()}
+    half_b = {r["doc_id"] for r in stratified_sample(df, "stratum", {"keep": 0.5}).collect()}
+    assert half_a == half_b  # pure function of doc_id: no RNG state
+    assert half_a < {i for i in range(200) if i % 2 == 0}
+    assert 20 <= len(half_a) <= 80  # md5 uniformity, loose bound
+
+
+def test_shingles_shorter_than_k_is_empty(spark):
+    from otel_arrow_adapter_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(1, "only three words"), (2, "")], "id long, text string")
+    rows = {r["id"]: r["s"] for r in df.select("id", shingles(F.col("text"), 8).alias("s")).collect()}
+    assert rows[1] == [] and rows[2] == []
