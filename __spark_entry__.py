@@ -308,6 +308,17 @@ def q_conv_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_pairs(_transcripts(spark, sf_dir))
 
 
+def q_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure quality filter (the pre-SFT gate): turn-count
+    bounds, both-roles-present, role-alternation rate >= 0.5 — flagged, not
+    filtered. One window + one groupBy, both on conv_id (the stable-order
+    invariant's own partitioning, reused). Oracle: the same LEAD window +
+    aggregate in DuckDB with BIGINT-cast sums."""
+    from otel_arrow_adapter_spark.functions.conversations import conv_quality
+
+    return conv_quality(_transcripts(spark, sf_dir))
+
+
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-LEVEL dedup groups (a duplicated conversation
     duplicates every turn — turn/doc-grain dedup undercounts): digit-
@@ -2114,6 +2125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_dup_clusters": q_emb_dup_clusters,
     "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
     "conv_sft_pairs": q_conv_sft_pairs,
+    "conv_quality": q_conv_quality,
     "conv_dedup": q_conv_dedup,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -2993,6 +3005,34 @@ SELECT conv_id, turn_idx AS prompt_turn_idx, text AS prompt, ntext AS completion
   (CASE WHEN length(trim(ntext)) = 0 THEN 0
         ELSE len(string_split_regex(trim(ntext), '\\s+')) END)::BIGINT AS n_completion_tokens
 FROM led WHERE role = 'user' AND nrole = 'assistant'
+""",
+    "conv_quality": duckdb_transcripts_cte() + """,
+led AS (
+  SELECT conv_id, role, text,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole
+  FROM transcripts
+),
+agg AS (
+  SELECT conv_id,
+    count(*) AS n_turns,
+    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
+    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+    sum(CASE WHEN nrole IS NOT NULL AND role <> nrole THEN 1 ELSE 0 END) AS n_alt
+  FROM led GROUP BY conv_id
+)
+SELECT conv_id,
+  CAST(n_turns AS BIGINT) AS n_turns,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_user AS BIGINT) AS n_user,
+  CAST(n_assistant AS BIGINT) AS n_assistant,
+  round(CASE WHEN n_turns > 1 THEN n_alt / CAST(n_turns - 1 AS DOUBLE)
+             ELSE 1.0 END, 6) AS alternation_rate,
+  (n_turns BETWEEN 2 AND 200 AND n_user > 0 AND n_assistant > 0
+   AND (CASE WHEN n_turns > 1 THEN n_alt / CAST(n_turns - 1 AS DOUBLE)
+             ELSE 1.0 END) >= 0.5) AS keep
+FROM agg
 """,
     "conv_dedup": duckdb_transcripts_cte() + """,
 fps AS (

@@ -113,3 +113,57 @@ def conv_dedup(turns: DataFrame, strip_digits: bool = True) -> DataFrame:
         "n_turns",
         F.col("_fp_sum").cast("string").alias("fp"),
     )
+
+
+def conv_quality(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 200,
+    min_alternation: float = 0.5,
+) -> DataFrame:
+    """Conversation-structure quality signals — the conversation-grain
+    analog of the document ``quality_score`` filter, applied before SFT
+    mining: turn-count bounds, both-roles-present, and role alternation
+    rate (fraction of adjacent turn pairs that switch roles; a wall of
+    same-role turns is scraper noise, not dialogue). Returns every
+    conversation with its stats and a ``keep`` flag (flag, don't filter —
+    downstream stages choose).
+
+    Scale shape: one window + one groupBy, both partitioned by conv_id —
+    the same exchange the stable-turn-ordering invariant already needs, so
+    a fused curation pipeline reuses it. Aggregates are sums/counts
+    (map-side combine); no conversation is ever materialized in memory.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt_role = F.lead("role").over(w)
+    per = turns.select(
+        "conv_id",
+        "role",
+        token_count(F.col("text")).alias("_nt"),
+        F.when(nxt_role.isNotNull(), (F.col("role") != nxt_role).cast("int")).alias("_alt"),
+    )
+    agg = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+        F.sum("_alt").alias("_n_alt"),
+    )
+    alt_rate = F.when(
+        F.col("n_turns") > 1, F.col("_n_alt") / (F.col("n_turns") - 1)
+    ).otherwise(F.lit(1.0))
+    keep = (
+        F.col("n_turns").between(min_turns, max_turns)
+        & (F.col("n_user") > 0)
+        & (F.col("n_assistant") > 0)
+        & (alt_rate >= min_alternation)
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_tokens",
+        "n_user",
+        "n_assistant",
+        F.round(alt_rate, 6).alias("alternation_rate"),
+        keep.alias("keep"),
+    )

@@ -44,8 +44,12 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) long table — distinct shingle set per doc.
+def doc_shingles(
+    docs: DataFrame, k: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) long table — distinct shingle set per doc
+    (``distinct=False`` skips the extra (doc_id, shingle) shuffle for
+    consumers that deduplicate downstream anyway).
 
     Built as posexplode(tokens) + window lead(k-1), NOT as an array
     ``transform`` lambda: Spark's higher-order functions are interpreted
@@ -64,14 +68,11 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (
-        toks.select(
-            "doc_id",
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
-        )
-        .where(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    out = toks.select(
+        "doc_id",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(
@@ -429,16 +430,18 @@ def ngram_contamination(
     n_hit_grams counts DISTINCT overlapping n-grams.
 
     Scale shape: eval sets are tiny next to a 100 TB corpus, so the
-    benchmark's distinct n-gram set is broadcast — the corpus side is one
-    explode + broadcast-hash semi-join + map-side-combined groupBy(doc_id);
-    the only shuffle is at doc_id grain over the (rare) hits. Never an
-    all-pairs or sort-merge join against the fact table.
+    benchmark's distinct n-gram set is broadcast — the corpus side is the
+    codegen'd window shingler (posexplode + lead, NOT an interpreted array
+    ``transform``: 6x faster measured at sf0.1) + broadcast-hash join +
+    map-side-combined groupBy(doc_id); the only shuffle at doc_id grain is
+    over the (rare) hits. Never an all-pairs or sort-merge join against
+    the fact table.
     """
-    bench_grams = benchmark.select(
-        F.explode(shingles(F.col(bench_text_col), n)).alias("gram")
+    bench_grams = doc_shingles(benchmark, k=n, text_col=bench_text_col).select(
+        F.col("shingle").alias("gram")
     ).distinct()
-    doc_grams = docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("gram")
+    doc_grams = doc_shingles(docs, k=n, text_col=text_col, distinct=False).select(
+        "doc_id", F.col("shingle").alias("gram")
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram")

@@ -80,3 +80,24 @@ def test_conv_dedup_map_side_combines(spark):
     assert "Python" not in plan
     # partial aggregation must run below the conv_id exchange
     assert "partial_sum" in plan
+
+
+def test_conv_quality_known_answer(spark):
+    from otel_arrow_adapter_spark.functions.conversations import conv_quality
+
+    rows = [
+        # perfect dialogue: 4 turns, full alternation
+        ("c1", 0, "user", "hi there"), ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "thanks a lot"), ("c1", 3, "assistant", "sure"),
+        # wall of same-role turns: alternation 0
+        ("c2", 0, "user", "a"), ("c2", 1, "user", "b"), ("c2", 2, "user", "c"),
+        # single turn: below min_turns, alternation defined as 1.0
+        ("c3", 0, "assistant", "orphan"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in conv_quality(df).collect()}
+    assert out["c1"]["keep"] and out["c1"]["alternation_rate"] == 1.0
+    assert out["c1"]["n_tokens"] == 2 + 1 + 3 + 1
+    assert not out["c2"]["keep"] and out["c2"]["alternation_rate"] == 0.0
+    assert out["c2"]["n_user"] == 3 and out["c2"]["n_assistant"] == 0
+    assert not out["c3"]["keep"] and out["c3"]["alternation_rate"] == 1.0
