@@ -244,3 +244,49 @@ def test_merge_exp_histograms_broadcasts_min_scale(spark):
     coarse = exp_histogram_rollup(df.where("i % 2 = 1"), max_buckets=18, scale=0)
     plan = _plan(merge_exp_histograms(fine.unionByName(coarse)))
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_broadcasts_bench_grams(spark):
+    """The eval-set n-gram side must broadcast; the corpus side must never
+    sort-merge against it (100 TB corpus vs tiny benchmark)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.QUERIES["doc_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_filter_reaches_scan(spark):
+    """Sampling is a pure row filter — it must compile to a Filter over the
+    scan (no shuffle, no window, no Python) so Catalyst can push it below
+    any downstream operator."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.QUERIES["doc_stratified_sample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Filter" in plan
+
+
+def test_pii_redact_no_python_no_shuffle(spark):
+    """Redaction is chained regexp_replace: map-only, JVM-side."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.QUERIES["doc_pii_redact"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_conv_quality_single_conv_id_exchange(spark):
+    """conv_quality's window and groupBy share the conv_id partitioning:
+    exactly ONE exchange over the fact rows (the ordering invariant's own
+    shuffle, reused — the groupBy must NOT add a second one)."""
+    from otel_arrow_adapter_spark.functions.conversations import conv_quality
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c1", 1, "assistant", "yo")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(conv_quality(turns))
+    exchanges = [line for line in plan.splitlines() if "Exchange" in line]
+    assert len(exchanges) == 1 and "conv_id" in exchanges[0], plan
