@@ -667,3 +667,34 @@ def test_shingles_shorter_than_k_is_empty(spark):
     df = spark.createDataFrame([(1, "only three words"), (2, "")], "id long, text string")
     rows = {r["id"]: r["s"] for r in df.select("id", shingles(F.col("text"), 8).alias("s")).collect()}
     assert rows[1] == [] and rows[2] == []
+
+
+def test_redact_pii_idempotent_no_residuals(spark):
+    """redact ∘ redact == redact, and the redacted text contains zero
+    remaining matches of ANY pattern (adjacent/nested adversarial forms:
+    dotted runs longer than an IPv4, emails butted against dotted quads,
+    phone-ish runs inside longer digit strings)."""
+    import itertools
+
+    from otel_arrow_adapter_spark.functions.text import pii_counts, redact_pii
+
+    frags = [
+        "a@b.co", "1.2.3.4", "555-123-4567", "12.34.56.78.90.11.22.33",
+        "x", " ", ".", "-", "9", "user.name+tag@sub.domain.org", "..",
+        "555.123.4567", "@", "co", "999", "0.0.0.0",
+    ]
+    rows = [
+        (i, "".join(c)) for i, c in enumerate(itertools.islice(
+            itertools.product(frags, repeat=3), 500))
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = df.select("id", redact_pii(F.col("text")).alias("r1"))
+    twice = once.select(
+        "id", "r1", redact_pii(F.col("r1")).alias("r2"),
+        *[v.alias(f"n_{k}") for k, v in pii_counts(F.col("r1")).items()],
+    )
+    bad = twice.where(
+        (F.col("r1") != F.col("r2"))
+        | (F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0)
+    ).count()
+    assert bad == 0
