@@ -159,11 +159,16 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     from otel_arrow_adapter_spark.streaming.stream import dedup_stream
 
     src = str(tmp_path / "src_dedup")
-    # batch 1: texts A (ids 5 and 2 — intra-batch dup, min id wins), B
+    # batch 1: texts A (ids 5 and 2 — intra-batch dup, min id wins), B.
+    # coalesce(1): each write must be ONE file — maxFilesPerTrigger=1 maps
+    # files to micro-batches, and a multi-file write would split the
+    # intra-batch dup across batches (turning the min-id tie-break into
+    # arrival order; seen flaking under host load, where the 3-row frame
+    # spread over several input partitions).
     spark.createDataFrame(
         [(5, "alpha text"), (2, "alpha text"), (3, "beta text")],
         "doc_id long, text string",
-    ).write.parquet(src)
+    ).coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
@@ -173,13 +178,13 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     # batch 2: A again (cross-batch dup, dropped even though id=1 < 2), C
     spark.createDataFrame(
         [(1, "alpha text"), (9, "gamma text")], "doc_id long, text string"
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     # batch 3: whitespace variant of A — the normalized fingerprint makes
     # '  alpha   text ' the same doc, so it is dropped too
     spark.createDataFrame(
         [(7, "  alpha   text ")], "doc_id long, text string"
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     rows = spark.sql("select * from dq").collect()
