@@ -1262,6 +1262,18 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", rates).select("doc_id", "lang")
 
 
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy (CCNet-style perplexity filter, unigram
+    order): mean token log-probability under the corpus's own unigram
+    distribution. Vocab build = one map-side-combined groupBy over token
+    TYPES; scoring = broadcast join + one doc-grain groupBy. Oracle: the
+    identical ln(n_tok/n_total) average in DuckDB."""
+    from otel_arrow_adapter_spark.functions.text import unigram_logprob
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(d)
+
+
 def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized brute-force top-10: per-dim symmetric scales
     (O(dim) global state, broadcast back), floor(x/s*127+0.5) codes,
@@ -2114,6 +2126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": q_doc_pii_redact,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
     # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -3094,6 +3107,20 @@ SELECT doc_id,
     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted
 FROM aug
+""",
+    # unigram-LM scoring: ln(n_tok/n_total) averaged per doc
+    "doc_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+tot AS (SELECT sum(n_tok) AS n_total FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) AS mean_logprob
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY doc_id
 """,
     # decontamination: distinct word 8-grams, eval set = doc_id%10=0 base docs
     "doc_decontaminate": _DOCS_PLUS_SQL + """,

@@ -286,3 +286,43 @@ def pack_offsets(
             F.col(token_col) > 0, F.floor((end - 1) / budget)
         ).otherwise(F.floor(F.col("start_off") / budget)).cast("long").alias("last_chunk"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Corpus-LM quality proxy — the CCNet/Gopher perplexity filter at
+    unigram order: score each document by the mean log-probability of its
+    tokens under the corpus's own unigram distribution (gibberish and
+    boilerplate-free rare-token walls score low; docs of common tokens
+    score high). Returns (doc_id, n_tokens, mean_logprob).
+
+    Scale shape: the vocabulary build is one map-side-combined groupBy
+    whose output is token TYPES (Heaps' law: sublinear in corpus size);
+    scoring is a broadcast join + one groupBy(doc_id) whose partial
+    aggregation collapses each document inside its input partition
+    (explode is narrow, so a doc's tokens never cross partitions before
+    the combine). At open-web scale cap the broadcast with ``max_vocab``
+    (top-K types by count, ties broken by token for determinism); tokens
+    outside it score ``oov_logprob`` — the standard head-vocab + OOV
+    bucket approximation.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    if max_vocab is not None:
+        vocab = vocab.orderBy(F.desc("n_tok"), "tok").limit(max_vocab)
+    vocab = vocab.crossJoin(F.broadcast(total))
+    logp = F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.coalesce(logp, F.lit(float(oov_logprob)))), 6).alias(
+            "mean_logprob"
+        ),
+    )

@@ -698,3 +698,21 @@ def test_redact_pii_idempotent_no_residuals(spark):
         | (F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0)
     ).count()
     assert bad == 0
+
+
+def test_unigram_logprob_known_answer(spark):
+    import math
+
+    from otel_arrow_adapter_spark.functions.text import unigram_logprob
+
+    # corpus: a x3, b x1 -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 2 and out[2]["n_tokens"] == 2
+    assert out[1]["mean_logprob"] == round(math.log(0.75), 6)
+    assert out[2]["mean_logprob"] == round((math.log(0.75) + math.log(0.25)) / 2, 6)
+    # head-vocab mode: b falls out of a top-1 vocab and scores oov_logprob
+    capped = {r["doc_id"]: r for r in unigram_logprob(df, max_vocab=1, oov_logprob=-20.0).collect()}
+    assert capped[2]["mean_logprob"] == round((math.log(0.75) - 20.0) / 2, 6)
