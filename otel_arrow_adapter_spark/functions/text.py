@@ -139,14 +139,21 @@ def boilerplate_ngrams(
     least ``min_docs`` DISTINCT documents (headers, footers, license
     blurbs, navigation chrome — the CCNet/RefinedWeb cleaning target).
 
-    Scale shape: one explode then one groupBy on the n-gram string —
+    Scale shape: n-grams come from the codegen'd posexplode + window
+    shingler (multiplicity-preserving mode) — NOT the interpreted
+    ``ngram_array`` transform lambda, which measured 33 s vs ~3 s at
+    sf0.1 for this query. Then one groupBy on the n-gram string —
     partial (map-side) aggregation collapses each partition's repeats
     before the shuffle, so shuffled rows ≈ distinct n-grams per partition,
     not total occurrences. n-gram keys are near-uniform (no skew salt
     needed); count(DISTINCT doc_id) plans as a two-phase expand+partial
     aggregate, never a per-key set collect. Returns
     (ngram, n_docs, n_occurrences)."""
-    grams = docs.select("doc_id", F.explode(ngram_array(F.col(text_col), n)).alias("ngram"))
+    from .dedup import doc_shingles  # function-level: dedup imports from text
+
+    grams = doc_shingles(docs, k=n, text_col=text_col, distinct=False).select(
+        "doc_id", F.col("shingle").alias("ngram")
+    )
     return (
         grams.groupBy("ngram")
         .agg(
