@@ -429,7 +429,13 @@ def exp_histogram_rollup(
     negative scales down to OTLP's -10 are plain integer powers).
 
     Bucket index i counts |v| in [2^(i/2^scale), 2^((i+1)/2^scale)) —
-    lower-inclusive, mirrored for negatives — computed with EXPLICIT
+    lower-inclusive, mirrored for negatives. NOTE this is a deliberate,
+    documented divergence from OTLP/the reference, which use the
+    UPPER-inclusive convention (base^i, base^(i+1)]: lower-inclusive keeps
+    exact power-of-two values in the intuitively-named bucket in the
+    integer domain this operator contracts to (a value of 8 lands in
+    [8,16) here vs (4,8] there); offsets, trimming, downscaling and
+    merging are convention-independent. Boundaries are computed with EXPLICIT
     integer boundary comparisons (``exp2_lower_bound``): engine-portable
     (no libm log2, no string/base conversion — F.conv stringifies doubles
     with fractions or scientific notation and silently mis-buckets them,
