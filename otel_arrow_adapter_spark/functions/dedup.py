@@ -267,19 +267,29 @@ def dup_clusters(
         .distinct()
         .persist()
     )
-    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        nxt = (
-            edges.join(labels, edges.src == labels.doc_id)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        # The self-loop row (src==dst) carries dst's PREVIOUS label through
+        # the same shuffle, so one groupBy yields both the new label and the
+        # convergence flag — no separate labels⋈labels diff join per round.
+        return (
+            edges.join(lbl, edges.src == lbl.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("p"), "doc_id")
-            .where(F.col("n.label") != F.col("p.label"))
-            .count()
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("src") == F.col("dst"), F.col("label"))).alias("_prev"),
+            )
         )
+
+    # Two propagation steps per materialization: the shuffles per step are
+    # inherent (they ARE the label propagation), but checkpoint + count jobs
+    # are pure per-round overhead — halved by checking convergence every
+    # second step. Stopping when the LAST step changed nothing is exact:
+    # min-label propagation is monotone, a no-change step is a fixed point.
+    for _ in range(max(1, max_iters // 2)):
+        nxt = _propagate(_propagate(labels)).localCheckpoint(eager=True)
+        changed = nxt.where(F.col("label") != F.col("_prev")).count()
         _free_local_checkpoint(labels)
         labels = nxt
         if changed == 0:
