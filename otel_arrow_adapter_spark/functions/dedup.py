@@ -426,6 +426,70 @@ def simhash_near_dups(
     return owned_result(out, sig)
 
 
+def dup_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    min_tokens: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): maximal
+    token runs occurring verbatim in >= ``min_docs`` distinct documents,
+    located by anchoring every word k-gram and merging overlapping
+    duplicated anchors into islands. The reference algorithm builds a
+    corpus-wide suffix array — inherently sequential; the distributed
+    equivalent anchors fixed-length grams, which finds exactly the spans
+    of length >= k tokens (shorter repeats are invisible by construction,
+    the standard precision/parallelism trade).
+
+    Shape at 100 TB: shingling is the codegen'd window shingler (one
+    doc_id-partitioned window, shared key with nothing downstream — the
+    gram groupBy rekeys); duplicated-gram detection is one map-side-
+    combined groupBy on the gram string (shuffled rows ≈ distinct grams,
+    near-uniform keys, no skew salt needed); the join back is gram-keyed;
+    span merging is an islands window (pos - row_number) partitioned per
+    doc — state bounded by document length, never corpus-wide.
+
+    Returns (doc_id, span_start, span_len, n_grams): 0-based token
+    offset, span length in tokens, and the number of k-gram anchors
+    merged into the span.
+    """
+    from pyspark.sql import Window
+
+    from .text import normalize_text
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    iw = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("island", F.col("pos") - F.row_number().over(iw))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    out = spans.select("doc_id", "span_start", "span_len", "n_grams")
+    if min_tokens is not None:
+        out = out.where(F.col("span_len") >= min_tokens)
+    return out
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

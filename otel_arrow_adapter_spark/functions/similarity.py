@@ -152,6 +152,66 @@ def ivf_assign(
     return assign_to_centroids(embeddings, cents, vec_col)
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 10,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    + within-cluster pairwise cosine. A vector is a duplicate when some
+    cluster-mate EARLIER in the cluster's fixed scan order has cosine
+    >= ``threshold`` to it; the scan order is ascending similarity to the
+    centroid, so each duplicate group's surviving representative is its
+    LEAST-central member — the paper's keep-low-centroid-similarity
+    choice (it preserves the cluster's diversity edge, not its mode).
+
+    Shape at 10^9 vectors: coarse assignment is the broadcast n×k scoring
+    pass of :func:`ivf_assign`; the rank window partitions per cluster;
+    the pair scan is a centroid_id-keyed equi-join — cluster-bounded
+    (n²/k dot products total, the published algorithm's cost; pick
+    n_clusters so clusters fit a task, e.g. k≈10^5 at 10^9 vectors), and
+    the rank inequality halves it. Never an all-pairs join; cluster-size
+    skew is AQE skew-join territory (or re-seed the centroids). Synthetic
+    test embeddings are near-orthogonal, so the default threshold is low;
+    real model embeddings use τ≈0.95.
+
+    Returns one row per vector: (vec_id, centroid_id, centroid_sim,
+    keep) — ``keep`` false for dropped duplicates.
+    """
+    assign = ivf_assign(embeddings, n_clusters, vec_col, centroids)
+    w = Window.partitionBy("centroid_id").orderBy(F.asc("cos_sim"), F.asc("vec_id"))
+    a = assign.withColumn("rnk", F.row_number().over(w)).join(
+        embeddings.select("vec_id", vec_col), "vec_id"
+    )
+    left = a.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("rnk").alias("lrnk"),
+        F.col(vec_col).alias("lv"),
+    )
+    right = a.select(
+        "vec_id",
+        F.col("centroid_id").alias("cid"),
+        F.col("rnk").alias("rrnk"),
+        F.col(vec_col).alias("rv"),
+    )
+    dropped = (
+        left.join(right, "cid")
+        .where(F.col("lrnk") < F.col("rrnk"))
+        .where(F.round(cosine(F.col("lv"), F.col("rv")), 6) >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.col("cos_sim").alias("centroid_sim"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     n_centroids: int = 10,

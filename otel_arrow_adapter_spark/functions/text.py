@@ -252,6 +252,38 @@ def stratified_sample(
     return df.where(u < F.floor(rate * denom).cast("long"))
 
 
+def shard_shuffle(
+    docs: DataFrame,
+    n_shards: int = 16,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shard + intra-shard shuffle — the epoch
+    reshuffle primitive of a pretraining data loader. Every document gets
+    a stable (shard, pos) address that is a pure function of (seed, id):
+    two runs (or two engines) materialize byte-identical epochs, and a
+    new seed string is a full reshuffle with zero carried state.
+
+    Shape: shard = md5-uint48(id) % n_shards — one hash-partition
+    shuffle; pos = row_number over the shard ordered by md5("seed:id") —
+    the only ordering cost is per-shard, and shards are sized to one
+    writer task (at 10^12 docs pick n_shards ≈ desired output-file
+    count). No RNG state, no driver coordination, no global sort."""
+    from pyspark.sql import Window
+
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(sid), 1, 12), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), sid))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        docs.select(F.col(id_col), shard.alias("shard"), key.alias("sort_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def pack_offsets(
     docs: DataFrame,
     budget: int = 512,

@@ -716,3 +716,84 @@ def test_unigram_logprob_known_answer(spark):
     # head-vocab mode: b falls out of a top-1 vocab and scores oov_logprob
     capped = {r["doc_id"]: r for r in unigram_logprob(df, max_vocab=1, oov_logprob=-20.0).collect()}
     assert capped[2]["mean_logprob"] == round((math.log(0.75) - 20.0) / 2, 6)
+
+
+def test_dup_spans_planted_run(spark):
+    """ExactSubstr anchoring: a 7-token run shared by two docs at different
+    offsets comes back as one maximal span each (3 merged 5-gram anchors),
+    with exact token offsets; non-overlapping docs are absent."""
+    from otel_arrow_adapter_spark.functions.dedup import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    d = spark.createDataFrame(
+        [
+            (1, f"prefix one two {shared} tail1 x"),
+            (2, f"{shared} completely different ending here"),
+            (3, "no overlap with anything else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_spans(d, k=5, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].span_start, out[1].span_len, out[1].n_grams) == (3, 7, 3)
+    assert (out[2].span_start, out[2].span_len, out[2].n_grams) == (0, 7, 3)
+    # min_tokens gates short spans out
+    assert dup_spans(d, k=5, min_docs=2, min_tokens=8).count() == 0
+
+
+def test_semdedup_keeps_least_central_representative(spark):
+    """Duplicate group {0, 2, 3} in centroid-0's cluster under tau=0.998:
+    scan order is ascending centroid similarity (2, 3, 0), so 3 drops as a
+    duplicate of 2 (cos 0.998314) and 0 drops as a duplicate of 3
+    (cos 0.998617) even though 3 itself was dropped — SemDeDup judges
+    against all earlier points, not surviving ones. The kept
+    representative is the LEAST central member, 2."""
+    from otel_arrow_adapter_spark.functions.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.95, 0.05, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup(e, n_clusters=2, threshold=0.998).collect()}
+    assert {v for v, r in out.items() if r.keep} == {1, 2, 4}
+    assert {v for v, r in out.items() if not r.keep} == {0, 3}
+
+
+def test_semdedup_pair_scan_is_cluster_bounded(spark, emb):
+    """The within-cluster pair scan must plan as an equi-join on
+    centroid_id (hash/sort-merge), never a cartesian product."""
+    from otel_arrow_adapter_spark.functions.similarity import semdedup
+
+    plan = (
+        semdedup(emb, n_clusters=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shard_shuffle_stable_complete_and_reseeds(spark, docs):
+    """(shard, pos) is a pure function of (seed, doc_id): identical across
+    runs, positions exactly 1..shard_size per shard, and a new seed
+    permutes intra-shard order while leaving shard membership fixed."""
+    from collections import Counter
+
+    from otel_arrow_adapter_spark.functions.text import shard_shuffle
+
+    d = docs.select("doc_id")
+    rows_a = {r.doc_id: (r.shard, r.pos) for r in shard_shuffle(d, n_shards=8).collect()}
+    rows_b = {r.doc_id: (r.shard, r.pos) for r in shard_shuffle(d, n_shards=8).collect()}
+    assert rows_a == rows_b
+    assert len(rows_a) == d.count()
+    sizes = Counter(s for s, _ in rows_a.values())
+    for s, cnt in sizes.items():
+        ps = sorted(p for sh, p in rows_a.values() if sh == s)
+        assert ps == list(range(1, cnt + 1))
+    rows_c = {r.doc_id: (r.shard, r.pos) for r in shard_shuffle(d, n_shards=8, seed="epoch1").collect()}
+    assert {k: v[0] for k, v in rows_a.items()} == {k: v[0] for k, v in rows_c.items()}
+    assert rows_a != rows_c
