@@ -2111,6 +2111,29 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, n_clusters=10, threshold=0.35)
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights: per-doc unigram
+    log-likelihood ratio of a target-domain model (here: the English
+    subset) vs the raw-corpus model, add-0.5 smoothing over the union
+    vocabulary. Two type-grain vocab groupBys + one broadcast join +
+    one doc-grain groupBy."""
+    from otel_arrow_adapter_spark.functions.text import dsir_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(d, d.where(F.col("lang") == "en"), alpha=0.5)
+
+
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf terms (idf = ln(N/df)): term counts and df
+    table are map-side-combined groupBys, df joins back broadcast, top-k
+    is one per-doc row_number window ranked on the ROUNDED score with a
+    term tie-break (engine-portable determinism)."""
+    from otel_arrow_adapter_spark.functions.text import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(d, top_k=3)
+
+
 def q_doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: every doc gets a stable (shard, pos)
     address as a pure function of (seed, doc_id) — md5 shard assignment +
@@ -2140,6 +2163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_spans": q_doc_dup_spans,
     "emb_semdedup": q_emb_semdedup,
     "doc_shard_shuffle": q_doc_shard_shuffle,
+    "doc_dsir_weights": q_doc_dsir_weights,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
     "pipeline_pb_traces_roundtrip": q_pipeline_pb_traces_roundtrip,
     # -- outside the r4 sample (driver-green r3) --
     "pipeline_parse_logs": q_pipeline_parse_logs,
@@ -3203,6 +3228,54 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
            % 10000 AS BIGINT)
   < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500
               WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000 ELSE 0 END
+""",
+    # DSIR unigram log-likelihood ratio, target = English subset, add-0.5
+    # smoothing over the union vocabulary
+    "doc_dsir_weights": """
+WITH rt AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), tt AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+), rv AS (SELECT tok, count(*) AS n_raw FROM rt GROUP BY tok),
+tv AS (SELECT tok, count(*) AS n_tgt FROM tt GROUP BY tok),
+merged AS (
+  SELECT coalesce(rv.tok, tv.tok) AS tok,
+    coalesce(n_raw, 0) AS n_raw, coalesce(n_tgt, 0) AS n_tgt
+  FROM rv FULL OUTER JOIN tv ON rv.tok = tv.tok
+), tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt, count(*) AS v FROM merged),
+vocab AS (
+  SELECT tok,
+    ln((n_tgt + 0.5) / (t_tgt + 0.5 * v)) - ln((n_raw + 0.5) / (t_raw + 0.5 * v)) AS llr
+  FROM merged, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(sum(llr), 6) AS log_weight
+FROM rt JOIN vocab USING (tok)
+GROUP BY doc_id
+""",
+    # per-doc top-3 tf-idf terms, rank on the ROUNDED score, term tie-break
+    "doc_tfidf_terms": """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT doc_id, term, tf,
+    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfq USING (term), nd
+), r AS (
+  SELECT doc_id, term, tf, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
 """,
     # ExactSubstr-style duplicate spans: 5-gram anchors in >=2 distinct
     # docs, merged into maximal islands per doc

@@ -365,3 +365,110 @@ def unigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by the log likelihood ratio of its tokens under a target-domain
+    unigram model vs the raw-corpus unigram model,
+    ``log w(x) = Σ_tok [log p_target(tok) − log p_raw(tok)]`` — documents
+    resembling the target domain score high; resampling proportional to
+    the weights yields the DSIR-selected corpus. The paper hashes n-gram
+    features; at unigram order the feature IS the token, which keeps the
+    operator exactly SQL-replayable. Add-``alpha`` smoothing over the
+    union vocabulary keeps both models finite everywhere.
+
+    Shape at 100 TB: two map-side-combined vocab groupBys whose outputs
+    are token TYPES (Heaps-sublinear), one full-outer type-grain merge,
+    one broadcast join onto the exploded raw corpus, one
+    groupBy(doc_id) with partial aggregation — the same scale story as
+    :func:`unigram_logprob` (cap types with a head vocab there if the
+    broadcast outgrows executors).
+
+    Returns (doc_id, n_tokens, log_weight)."""
+    raw_toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok")
+    )
+    raw_vocab = raw_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt_vocab = (
+        target.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    merged = raw_vocab.join(tgt_vocab, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+        F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+    )
+    totals = merged.agg(
+        F.sum("n_raw").alias("t_raw"),
+        F.sum("n_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    llr = F.log((F.col("n_tgt") + a) / (F.col("t_tgt") + a * F.col("v"))) - F.log(
+        (F.col("n_raw") + a) / (F.col("t_raw") + a * F.col("v"))
+    )
+    vocab = merged.crossJoin(F.broadcast(totals)).select("tok", llr.alias("llr"))
+    return (
+        raw_toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("llr"), 6).alias("log_weight"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (idf = ln(N/df), plain — df >= 1
+    for every scored term by construction), the classic keyword/topic
+    proxy for corpus exploration and near-topic filtering.
+
+    Shape: per-doc term counts = one map-side-combined groupBy (a doc's
+    tokens collapse inside their input partition before the shuffle); the
+    document-frequency table derives from it at type grain and joins back
+    broadcast (Heaps-sublinear — cap with a head vocab at open-web
+    scale); top-k = one row_number window per doc, ties broken by term
+    for engine-portable determinism.
+
+    Returns (doc_id, term, tf, score, rnk)."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "score", F.col("rnk").cast("long").alias("rnk"))
+    )

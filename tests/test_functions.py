@@ -797,3 +797,49 @@ def test_shard_shuffle_stable_complete_and_reseeds(spark, docs):
     rows_c = {r.doc_id: (r.shard, r.pos) for r in shard_shuffle(d, n_shards=8, seed="epoch1").collect()}
     assert {k: v[0] for k, v in rows_a.items()} == {k: v[0] for k, v in rows_c.items()}
     assert rows_a != rows_c
+
+
+def test_dsir_weights_known_answer(spark):
+    """Two-doc corpus, target = doc 1: a token's llr is ln((n_tgt+a)/(t_tgt+aV))
+    - ln((n_raw+a)/(t_raw+aV)); docs of target tokens score positive, raw-only
+    docs negative, exact to 6 dp."""
+    import math
+
+    from otel_arrow_adapter_spark.functions.text import dsir_weights
+
+    d = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "cc cc dd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dsir_weights(d, d.where(F.col("doc_id") == 1)).collect()}
+
+    def llr(n_tgt, n_raw, t_tgt=3, t_raw=6, v=4, a=0.5):
+        return math.log((n_tgt + a) / (t_tgt + a * v)) - math.log((n_raw + a) / (t_raw + a * v))
+
+    assert out[1].n_tokens == 3
+    assert out[1].log_weight == round(2 * llr(2, 2) + llr(1, 1), 6)
+    assert out[2].log_weight == round(2 * llr(0, 2) + llr(0, 1), 6)
+    assert out[1].log_weight > 0 > out[2].log_weight
+
+
+def test_tfidf_top_terms_known_answer(spark):
+    """idf = ln(N/df); rank on the rounded score with term tie-break
+    (doc 2's two 0.405465 terms order banana before cherry)."""
+    import math
+
+    from otel_arrow_adapter_spark.functions.text import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rnk): r for r in tfidf_top_terms(d, top_k=2).collect()}
+    assert out[(1, 1)].term == "apple"
+    assert out[(1, 1)].score == round(2 * math.log(3), 6)
+    assert out[(2, 1)].term == "banana" and out[(2, 2)].term == "cherry"
+    assert out[(2, 1)].score == out[(2, 2)].score == round(math.log(1.5), 6)
+    assert out[(3, 1)].term == "date"
+    assert out[(3, 1)].score == round(3 * math.log(3), 6)
