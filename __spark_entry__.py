@@ -2111,6 +2111,16 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, n_clusters=10, threshold=0.35)
 
 
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile per language: log2 token-count buckets with
+    per-stratum doc shares. One map-side-combined groupBy; the share
+    window runs over the tiny aggregate only."""
+    from otel_arrow_adapter_spark.functions.text import length_histogram
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_histogram(d, stratum_col="lang")
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023) importance weights: per-doc unigram
     log-likelihood ratio of a target-domain model (here: the English
@@ -2165,6 +2175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shard_shuffle": q_doc_shard_shuffle,
     "doc_dsir_weights": q_doc_dsir_weights,
     "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_length_histogram": q_doc_length_histogram,
     "pipeline_pb_traces_roundtrip": q_pipeline_pb_traces_roundtrip,
     # -- outside the r4 sample (driver-green r3) --
     "pipeline_parse_logs": q_pipeline_parse_logs,
@@ -3228,6 +3239,22 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
            % 10000 AS BIGINT)
   < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500
               WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000 ELSE 0 END
+""",
+    # log2 token-length histogram per language with per-stratum doc share
+    "doc_length_histogram": """
+WITH base AS (
+  SELECT lang AS stratum,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT stratum, CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket,
+    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM base GROUP BY 1, 2
+)
+SELECT stratum, bucket, n_docs, total_tokens,
+  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY stratum), 6) AS doc_share
+FROM agg
 """,
     # DSIR unigram log-likelihood ratio, target = English subset, add-0.5
     # smoothing over the union vocabulary

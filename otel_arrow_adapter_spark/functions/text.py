@@ -367,6 +367,39 @@ def unigram_logprob(
     )
 
 
+def length_histogram(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus length profile — the token-count distribution every dataset
+    card reports, per stratum: docs bucketed by floor(log2(n_tokens + 1))
+    (log-spaced, so the 10-token and 10k-token regimes are both visible).
+    Returns (stratum, bucket, n_docs, total_tokens, doc_share) where
+    doc_share is the bucket's fraction of its stratum's documents.
+
+    Shape: one map-side-combined groupBy on (stratum, bucket) — shuffled
+    rows ≈ strata × ~40 buckets regardless of corpus size; the share
+    window runs over that already-tiny aggregate, never over facts."""
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    bucket = F.floor(F.log2(n_tok + 1)).cast("long")
+    agg = (
+        docs.select(F.col(stratum_col).alias("stratum"), bucket.alias("bucket"), n_tok.alias("n_tokens"))
+        .groupBy("stratum", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+    w = Window.partitionBy("stratum")
+    return agg.select(
+        "stratum",
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: DataFrame,

@@ -843,3 +843,21 @@ def test_tfidf_top_terms_known_answer(spark):
     assert out[(2, 1)].score == out[(2, 2)].score == round(math.log(1.5), 6)
     assert out[(3, 1)].term == "date"
     assert out[(3, 1)].score == round(3 * math.log(3), 6)
+
+
+def test_length_histogram_buckets_and_shares(spark):
+    """floor(log2(n+1)) bucketing: 3 tokens -> bucket 2, 1 token -> bucket 1,
+    empty doc -> bucket 0; shares sum to 1 within a stratum."""
+    from otel_arrow_adapter_spark.functions.text import length_histogram
+
+    d = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "x"), (3, "en", "y"), (4, "de", "")],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r.stratum, r.bucket): r for r in length_histogram(d).collect()}
+    assert out[("en", 2)].n_docs == 1 and out[("en", 2)].total_tokens == 3
+    assert out[("en", 1)].n_docs == 2
+    assert out[("de", 0)].n_docs == 1 and out[("de", 0)].total_tokens == 0
+    assert out[("en", 2)].doc_share == round(1 / 3, 6)
+    assert out[("en", 1)].doc_share == round(2 / 3, 6)
+    assert out[("de", 0)].doc_share == 1.0
