@@ -18,7 +18,8 @@ full-fleet headline.
 The N/4N ratio itself is measured over K (default 3) interleaved fresh-JVM
 pairs with alternating run order; each pair is bracketed by live CPU probes
 (before + after, gated on the worse) and is disqualified when the host
-can't scale >=0.9 in that window. Headline
+can't scale >=0.9 in that window; superlinear pairs (> SUPERLINEAR_CAP) are
+excluded as slow-N artifacts. Headline
 efficiency = max(best eligible paired ratio, ratio of per-config minima) —
 see the paired-run comment in main() for the r4 postmortem that forced this.
 
@@ -50,6 +51,9 @@ QUERY_REPEATS = int(os.environ.get("OAAS_BENCH_QUERY_REPEATS", "2"))
 SCALE_PAIRS = int(os.environ.get("OAAS_BENCH_SCALE_PAIRS", "3"))
 SCALE_PAIRS_MAX = int(os.environ.get("OAAS_BENCH_SCALE_PAIRS_MAX", "6"))
 PROBE_GATE = float(os.environ.get("OAAS_BENCH_PROBE_GATE", "0.9"))
+# a paired ratio above this is a slow-N measurement artifact, not engine
+# quality — excluded from the headline estimator (see resolve_scale_efficiency)
+SUPERLINEAR_CAP = float(os.environ.get("OAAS_BENCH_SUPERLINEAR_CAP", "1.02"))
 
 _CHILD = r"""
 import sys, time, shutil, os, json
@@ -304,8 +308,22 @@ def resolve_scale_efficiency(pair_runs: list[dict], factor: int = 4) -> dict:
     slows the N run makes the engine look superlinear — an all-dirty r5
     run read 1.209 that way while minima honestly read 0.976), and a
     too-good number from a window the probe rejected is exactly the kind
-    of evidence this protocol exists to refuse."""
-    eligible = [p for p in pair_runs if p["eligible"]]
+    of evidence this protocol exists to refuse.
+
+    Superlinear guard: the same slow-N inflation can slip PAST the probe
+    gate (a sub-threshold burst confined to the N run — one r5 run had an
+    eligible pair read 1.063 off a t_n 34% above the config's minimum
+    while its bracketing probes read >=0.95). Scaling efficiency above
+    1.0 is not a property this engine can honestly claim, so pairs whose
+    ratio exceeds SUPERLINEAR_CAP are excluded from the paired estimator
+    (still reported in scale_pairs for disclosure); the small allowance
+    above 1.0 admits genuine cache/turbo jitter without admitting
+    artifacts."""
+    eligible = [
+        p
+        for p in pair_runs
+        if p["eligible"] and p["pair_efficiency"] <= SUPERLINEAR_CAP
+    ]
     best_paired = max((p["pair_efficiency"] for p in eligible), default=None)
     t_n = min(p["t_n"] for p in pair_runs)
     t_4n = min(p["t_4n"] for p in pair_runs)
@@ -467,6 +485,7 @@ def main() -> None:
             "_interleaved_fresh_jvm_pairs_alternating_order;"
             f"per_pair_bracketed_probe_gate>={PROBE_GATE};"
             "extra_pairs_while_none_eligible;"
+            f"superlinear_pairs>{SUPERLINEAR_CAP}_excluded_as_slow_N_artifacts;"
             "efficiency=max(best_eligible_paired_ratio,ratio_of_per_config_minima);"
             "no_eligible_pair->minima_only"
         ),
@@ -507,7 +526,12 @@ def main() -> None:
             "read clean when a neighbor-VM burst hit mid-pair) and is\n"
             f"DISQUALIFIED when the host itself scales < {PROBE_GATE:.2f}\n"
             "in that window (no engine can evidence scaling the host can't\n"
-            "deliver). Headline = max(best eligible paired ratio, ratio of\n"
+            "deliver). A pair whose ratio exceeds "
+            f"{SUPERLINEAR_CAP:.2f} is likewise excluded\n"
+            "from the paired estimator: superlinear scaling is a slow-N\n"
+            "measurement artifact (a sub-probe-threshold burst confined to\n"
+            "the N run), not a property this engine can honestly claim.\n"
+            "Headline = max(best eligible paired ratio, ratio of\n"
             "per-config minima) — both estimate the drift-free ratio; paired\n"
             "cancels slow drift, minima rejects isolated spikes. With NO\n"
             "eligible pair the minima ratio alone is the headline: a\n"

@@ -65,3 +65,23 @@ def test_factor_parameterized():
     pairs = [_pair(100.0, 50.0, True, factor=2)]
     r = bench.resolve_scale_efficiency(pairs, factor=2)
     assert r["efficiency"] == 1.0
+
+
+def test_superlinear_eligible_pair_excluded_from_headline():
+    """An ELIGIBLE pair can still be inflated by a sub-probe-threshold
+    burst confined to the N run (r5: an eligible pair read 1.063 off a
+    t_n 34% above the config minimum while its probes read >= 0.95).
+    Ratios above SUPERLINEAR_CAP are slow-N artifacts and must not set
+    the headline; the pair's times still feed the minima estimator."""
+    pairs = [
+        _pair(186.9, 43.9, True),   # ratio 1.064 — artifact
+        _pair(139.9, 42.9, True),   # ratio 0.815
+        _pair(153.1, 42.9, True),   # ratio 0.892
+    ]
+    r = bench.resolve_scale_efficiency(pairs)
+    assert r["best_paired"] == 0.892
+    assert r["efficiency"] == 0.892
+    # with ONLY superlinear eligible pairs, fall back to minima
+    r2 = bench.resolve_scale_efficiency([_pair(186.9, 43.9, True)])
+    assert r2["best_paired"] is None
+    assert r2["efficiency"] == r2["eff_minima"]
