@@ -54,6 +54,10 @@ PROBE_GATE = float(os.environ.get("OAAS_BENCH_PROBE_GATE", "0.9"))
 # a paired ratio above this is a slow-N measurement artifact, not engine
 # quality — excluded from the headline estimator (see resolve_scale_efficiency)
 SUPERLINEAR_CAP = float(os.environ.get("OAAS_BENCH_SUPERLINEAR_CAP", "1.02"))
+# a pair whose WINDOW steal/user tick ratio exceeds this ran under neighbor-VM
+# contention the bracketing probes can miss (bursts BETWEEN the probes) —
+# disqualified exactly like a failed probe
+STEAL_GATE = float(os.environ.get("OAAS_BENCH_STEAL_GATE", "0.2"))
 
 _CHILD = r"""
 import sys, time, shutil, os, json
@@ -189,11 +193,16 @@ def cpu_probe(*proc_counts: int) -> dict[str, float]:
     return {int(k): v for k, v in json.loads(r.stdout.strip().splitlines()[-1]).items()}
 
 
-def host_steal_ratio() -> float:
-    """steal/user CPU-tick ratio since boot (/proc/stat cpu line)."""
+def cpu_ticks() -> tuple[int, int]:
+    """(user, steal) cumulative CPU ticks (/proc/stat cpu line)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
-    user, steal = int(parts[1]), int(parts[8])
+    return int(parts[1]), int(parts[8])
+
+
+def host_steal_ratio() -> float:
+    """steal/user CPU-tick ratio since boot (/proc/stat cpu line)."""
+    user, steal = cpu_ticks()
     return steal / user if user else 0.0
 
 
@@ -422,11 +431,17 @@ def main() -> None:
             if i % 2 == 0
             else [(scale_n, "n"), (scale_4n, "4n")]
         )
+        u0, s0 = cpu_ticks()
         times: dict[str, float] = {}
         for cores, tag in order:
             times[tag] = pipeline_in_subprocess(
                 cores, in_path, f"{WORK}/out_{tag}_{i}", repeats=1, suppress=True
             )["sec"]
+        u1, s1 = cpu_ticks()
+        # steal DURING the pair window: bursts can land between the
+        # bracketing probes (one r5 pair read 0.461 with probes >= 0.916
+        # while the run-wide steal ratio was 0.282)
+        pair_steal = round((s1 - s0) / (u1 - u0), 3) if u1 > u0 else 0.0
         probe_post = _probe_now()
         probe_prev = probe_post  # next pair's pre-probe — no double cost
         probe_i = min(probe_pre, probe_post)
@@ -438,7 +453,8 @@ def main() -> None:
                 "host_probe_n_to_4n": probe_i,
                 "host_probe_pre": probe_pre,
                 "host_probe_post": probe_post,
-                "eligible": probe_i >= PROBE_GATE,
+                "steal_per_user": pair_steal,
+                "eligible": probe_i >= PROBE_GATE and pair_steal <= STEAL_GATE,
             }
         )
         i += 1
@@ -484,6 +500,7 @@ def main() -> None:
             f"{len(pair_runs)}_of_{SCALE_PAIRS}-{SCALE_PAIRS_MAX}_adaptive"
             "_interleaved_fresh_jvm_pairs_alternating_order;"
             f"per_pair_bracketed_probe_gate>={PROBE_GATE};"
+            f"per_pair_window_steal_gate<={STEAL_GATE};"
             "extra_pairs_while_none_eligible;"
             f"superlinear_pairs>{SUPERLINEAR_CAP}_excluded_as_slow_N_artifacts;"
             "efficiency=max(best_eligible_paired_ratio,ratio_of_per_config_minima);"
@@ -526,7 +543,9 @@ def main() -> None:
             "read clean when a neighbor-VM burst hit mid-pair) and is\n"
             f"DISQUALIFIED when the host itself scales < {PROBE_GATE:.2f}\n"
             "in that window (no engine can evidence scaling the host can't\n"
-            "deliver). A pair whose ratio exceeds "
+            "deliver), or when the window's steal/user tick ratio exceeds\n"
+            f"{STEAL_GATE:.2f} (bursts can land BETWEEN the bracketing probes;\n"
+            "the steal delta covers the whole pair). A pair whose ratio exceeds "
             f"{SUPERLINEAR_CAP:.2f} is likewise excluded\n"
             "from the paired estimator: superlinear scaling is a slow-N\n"
             "measurement artifact (a sub-probe-threshold burst confined to\n"
