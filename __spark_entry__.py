@@ -2111,6 +2111,42 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, n_clusters=10, threshold=0.35)
 
 
+def q_doc_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split: LSH -> Jaccard verify -> connected
+    components, then every cluster member follows the CLUSTER's md5 draw
+    (split key = component min doc id) — near-duplicates can never
+    straddle the split boundary. val_frac=0.2."""
+    from otel_arrow_adapter_spark.functions.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        leakage_free_split,
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    dp = _docs_plus(spark, sf_dir)
+    sh = doc_shingles(dp).persist()
+    cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
+    pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
+    sh.unpersist()
+    cand.unpersist()
+    out = leakage_free_split(dp, pairs, val_frac=0.2)
+    pairs.unpersist()
+    return out
+
+
+def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: admit docs per language in deterministic md5
+    order until the language's token budget fills (en 6000, de/fr 2000,
+    zh 1500; es unbudgeted -> excluded). One cumulative-sum window per
+    stratum + a plain filter."""
+    from otel_arrow_adapter_spark.functions.text import token_budget_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"en": 6000, "de": 2000, "fr": 2000, "zh": 1500}
+    return token_budget_sample(d, budgets)
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile per language: log2 token-count buckets with
     per-stratum doc shares. One map-side-combined groupBy; the share
@@ -2176,6 +2212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dsir_weights": q_doc_dsir_weights,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_length_histogram": q_doc_length_histogram,
+    "doc_leakage_free_split": q_doc_leakage_free_split,
+    "doc_token_budget_sample": q_doc_token_budget_sample,
     "pipeline_pb_traces_roundtrip": q_pipeline_pb_traces_roundtrip,
     # -- outside the r4 sample (driver-green r3) --
     "pipeline_parse_logs": q_pipeline_parse_logs,
@@ -3239,6 +3277,50 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
            % 10000 AS BIGINT)
   < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500
               WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000 ELSE 0 END
+""",
+    # leakage-free split: cluster members follow the component's md5 draw
+    "doc_leakage_free_split": _SHINGLES_SQL.replace(
+        "WITH docs_plus", "WITH RECURSIVE docs_plus", 1
+    )
+    + _JACCARD_CTES + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+  coalesce(c.cluster_id, d.doc_id) AS split_key,
+  CASE WHEN CAST(CAST('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+                   AS VARCHAR)), 1, 12) AS UBIGINT) % 10000 AS BIGINT) < 2000
+       THEN 'val' ELSE 'train' END AS split
+FROM docs_plus d LEFT JOIN comp c USING (doc_id)
+""",
+    # token-budget mixture: per-stratum running total in md5 order < budget
+    "doc_token_budget_sample": """
+WITH base AS (
+  SELECT doc_id, lang AS stratum,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    md5('mix0:' || CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents
+), r AS (
+  SELECT doc_id, stratum, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY draw, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_tokens
+  FROM base
+)
+SELECT doc_id, stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(prior_tokens AS BIGINT) AS prior_tokens
+FROM r
+WHERE prior_tokens < CASE stratum WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+                                  WHEN 'fr' THEN 2000 WHEN 'zh' THEN 1500
+                                  ELSE 0 END
 """,
     # log2 token-length histogram per language with per-stratum doc share
     "doc_length_histogram": """

@@ -309,6 +309,42 @@ def dup_clusters(
     return out
 
 
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    denom: int = 10000,
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across the
+    boundary: every member of a duplicate cluster follows its CLUSTER's
+    hash draw (split key = cluster id, the component's min doc id);
+    singletons draw on their own id. A plain per-doc random split puts one
+    copy of a duplicated document in train and its near-copy in val,
+    silently inflating eval scores — the classic C4/web-corpus leakage
+    failure; splitting at cluster grain is the fix.
+
+    Shape at 100 TB: :func:`dup_clusters` resolves the pair graph
+    (O(component diameter) rounds); the cluster map is O(dup docs) — tiny
+    next to the corpus — and joins back on doc_id; the draw itself is a
+    pure md5 expression (reproducible across engines and re-runs, no RNG
+    state). Returns (doc_id, split_key, split)."""
+    cmap = dup_clusters(pairs, id_name=id_col).select(id_col, "cluster_id")
+    joined = docs.select(id_col).join(cmap, id_col, "left")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    u = F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+        F.lit(denom),
+    )
+    return joined.select(
+        id_col,
+        key.alias("split_key"),
+        F.when(u < int(val_frac * denom), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the RDD behind a ``localCheckpoint()``-ed DataFrame.
 

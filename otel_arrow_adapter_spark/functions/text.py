@@ -252,6 +252,50 @@ def stratified_sample(
     return df.where(u < F.floor(rate * denom).cast("long"))
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Token-budget mixture construction — the "N tokens of web, M of
+    code" step of a pretraining mixture recipe: admit documents per
+    stratum in a deterministic md5 order until the stratum's token budget
+    is exhausted. A doc is admitted iff the running token total of
+    earlier-ordered docs in its stratum is < budget (the budget may
+    overshoot by at most the final admitted doc — the standard
+    convention). Strata without a budget contribute nothing.
+
+    Shape: one cumulative-sum window per stratum ordered by the md5 draw
+    (strata are few, each window is a single partition chain at stratum
+    grain — at open-web scale sub-shard the stratum by a second hash and
+    pre-aggregate shard totals, the pack_offsets discipline), then a
+    plain filter. No RNG state; byte-identical selection across engines
+    and re-runs. Returns (doc_id, stratum, n_tokens, prior_tokens)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))).alias("draw"),
+    )
+    w = Window.partitionBy("stratum").orderBy("draw", id_col)
+    prior = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("long")
+    budget = F.lit(0)
+    for key, val in sorted(budgets.items()):
+        budget = F.when(F.col("stratum") == key, F.lit(int(val))).otherwise(budget)
+    return (
+        base.withColumn("prior_tokens", prior)
+        .where(F.col("prior_tokens") < budget)
+        .select(id_col, "stratum", "n_tokens", "prior_tokens")
+    )
+
+
 def shard_shuffle(
     docs: DataFrame,
     n_shards: int = 16,

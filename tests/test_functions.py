@@ -861,3 +861,37 @@ def test_length_histogram_buckets_and_shares(spark):
     assert out[("en", 2)].doc_share == round(1 / 3, 6)
     assert out[("en", 1)].doc_share == round(2 / 3, 6)
     assert out[("de", 0)].doc_share == 1.0
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    """Every member of a connected component gets the component's split
+    key (min doc id) and therefore the same side; singletons draw on
+    their own id; the whole corpus is covered."""
+    from otel_arrow_adapter_spark.functions.dedup import leakage_free_split
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long")
+    out = {r.doc_id: r for r in leakage_free_split(docs, pairs, val_frac=0.3).collect()}
+    assert len(out) == 6
+    assert out[1].split_key == out[2].split_key == out[3].split_key == 1
+    assert out[1].split == out[2].split == out[3].split
+    assert out[10].split_key == out[11].split_key == 10
+    assert out[10].split == out[11].split
+    assert out[20].split_key == 20
+    assert all(r.split in ("train", "val") for r in out.values())
+
+
+def test_token_budget_sample_order_and_overshoot(spark):
+    """Docs admit in md5-draw order until the stratum budget fills; the
+    last admitted doc may overshoot; unbudgeted strata are excluded."""
+    import hashlib
+
+    from otel_arrow_adapter_spark.functions.text import token_budget_sample
+
+    rows = [(i, "en", "tok tok tok tok") for i in range(6)] + [(99, "de", "a b c")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in token_budget_sample(d, {"en": 10}).collect()}
+    order = sorted(range(6), key=lambda i: hashlib.md5(f"mix0:{i}".encode()).hexdigest())
+    # 4 tokens each: priors 0, 4, 8 < 10 admit; 12 does not; de unbudgeted
+    assert set(out) == set(order[:3])
+    assert {r.prior_tokens for r in out.values()} == {0, 4, 8}
