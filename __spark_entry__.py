@@ -2192,6 +2192,16 @@ def q_doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_shuffle(d, n_shards=16, seed="epoch0")
 
 
+def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 32-token windows advancing by
+    24 (8-token overlap), one row per (doc, chunk) with exact token
+    offsets. Zero shuffles, zero Python — a codegen'd map-only pass."""
+    from otel_arrow_adapter_spark.functions.text import chunk_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_spans(d, chunk_size=32, stride=24)
+
+
 # Ordering matters: the driver samples the FIRST 50 entries for its
 # oracle-correctness gate (CORRECTNESS_r{N}.json).  Queries that have never
 # (or not recently) been behind that gate come first; the long-stable
@@ -2206,6 +2216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "doc_chunk_spans": q_doc_chunk_spans,
     "doc_dup_spans": q_doc_dup_spans,
     "emb_semdedup": q_emb_semdedup,
     "doc_shard_shuffle": q_doc_shard_shuffle,
@@ -3451,6 +3462,27 @@ dropped AS (
 SELECT a.vec_id, a.centroid_id, a.csim AS centroid_sim,
   d.vec_id IS NULL AS keep
 FROM a LEFT JOIN dropped d USING (vec_id)
+""",
+    # sliding-window chunking: spans are a pure function of n_tokens
+    "doc_chunk_spans": """
+WITH toks AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), counted AS (
+  SELECT doc_id, n_tokens,
+    CAST(CASE WHEN n_tokens <= 0 THEN 0
+         WHEN n_tokens <= 32 THEN 1
+         ELSE (n_tokens - 32 + 24 - 1) // 24 + 1 END AS BIGINT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_chunks,
+  CAST(i AS BIGINT) AS chunk_idx,
+  CAST(i * 24 AS BIGINT) AS tok_start,
+  CAST(least(i * 24 + 32, n_tokens) AS BIGINT) AS tok_end
+FROM counted, LATERAL unnest(range(0, n_chunks)) AS r(i)
+WHERE n_chunks >= 1
 """,
     # deterministic epoch shuffle: md5 shard + md5 intra-shard order
     "doc_shard_shuffle": """

@@ -549,3 +549,58 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= top_k)
         .select("doc_id", "term", "tf", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def chunk_spans(
+    docs: DataFrame,
+    chunk_size: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / long-context
+    preparation step: cut each document into ``chunk_size``-token windows
+    advancing by ``stride`` tokens (overlap = chunk_size - stride), one
+    output row per (doc, chunk) with exact token offsets.
+
+    Spans: chunk i covers tokens [i*stride, min(i*stride + chunk_size,
+    n_tokens)); the chunk count is the smallest m whose last window
+    reaches the end — 1 for any non-empty doc up to chunk_size tokens,
+    1 + ceil((n - chunk_size) / stride) beyond. Empty documents emit no
+    chunks (the span table is a pure function of n_tokens, so a
+    downstream gather can slice the token stream without re-tokenizing).
+
+    Scale shape: zero shuffles and zero Python — n_tokens, the chunk
+    count, and the exploded spans are all codegen'd column expressions,
+    and explode is narrow (each doc's chunks materialize inside its input
+    partition). At 10^12 docs this is a map-only pass whose output
+    parallelism follows the scan's.
+
+    Returns (doc_id, n_tokens, n_chunks, chunk_idx, tok_start, tok_end).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    n = token_count(F.col(text_col))
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_size, F.lit(1))
+        # integer ceil((n - chunk_size) / stride) + 1, ANSI-safe
+        .otherwise(F.floor((n - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride)) + 1)
+        .cast("long")
+    )
+    base = docs.select(
+        "doc_id", n.alias("n_tokens"), n_chunks.alias("n_chunks")
+    )
+    # guard F.sequence against the descending (0, -1) range ANSI rejects:
+    # empty docs get an empty array, which explode() drops entirely
+    idx = F.when(
+        F.col("n_chunks") >= 1, F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    start = F.col("chunk_idx") * stride
+    return (
+        base.withColumn("chunk_idx", F.explode(idx))
+        .withColumn("tok_start", start)
+        .withColumn(
+            "tok_end", F.least(start + F.lit(chunk_size), F.col("n_tokens")).cast("long")
+        )
+        .select("doc_id", "n_tokens", "n_chunks", "chunk_idx", "tok_start", "tok_end")
+    )

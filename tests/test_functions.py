@@ -895,3 +895,39 @@ def test_token_budget_sample_order_and_overshoot(spark):
     # 4 tokens each: priors 0, 4, 8 < 10 admit; 12 does not; de unbudgeted
     assert set(out) == set(order[:3])
     assert {r.prior_tokens for r in out.values()} == {0, 4, 8}
+
+
+def test_chunk_spans_windows_and_edges(spark):
+    """Sliding-window chunking: exact spans for the boundary cases —
+    empty doc (no chunks), short doc (one full-doc chunk), exact fit,
+    one-past-fit, and a multi-window doc whose last chunk is clipped."""
+    from otel_arrow_adapter_spark.functions.text import chunk_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),  # empty -> no rows
+            (2, "a b c"),  # 3 tokens -> 1 chunk [0,3)
+            (3, " ".join(["t"] * 8)),  # exact chunk_size -> 1 chunk [0,8)
+            (4, " ".join(["t"] * 9)),  # 1 past -> 2 chunks, last clipped
+            (5, " ".join(["t"] * 20)),  # 3 chunks at stride 6
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_spans(docs, chunk_size=8, stride=6)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.tok_end))
+    assert 1 not in by_doc
+    assert by_doc[2] == [(0, 3)]
+    assert by_doc[3] == [(0, 8)]
+    assert by_doc[4] == [(0, 8), (6, 9)]
+    assert by_doc[5] == [(0, 8), (6, 14), (12, 20)]
+    # invariants: every token index is covered, consecutive chunks overlap
+    # by chunk_size - stride, n_chunks matches the emitted rows
+    for doc_id, spans in by_doc.items():
+        n = {r.doc_id: r.n_tokens for r in rows}[doc_id]
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert s1 == s0 + 6 and s1 < e0  # stride + genuine overlap
+        assert {r.doc_id: r.n_chunks for r in rows}[doc_id] == len(spans)
