@@ -2192,6 +2192,19 @@ def q_doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_shuffle(d, n_shards=16, seed="epoch0")
 
 
+def q_emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA fit statistics: mean + population covariance of the
+    64-dim embedding corpus via per-partition numpy partials (count,
+    sums, X^T X upper triangle) and one 2080-key groupBy — the shuffle
+    moves d*(d+1)/2 rows per partition, never the vectors."""
+    from otel_arrow_adapter_spark.functions.similarity import embedding_moments
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_moments(e)
+
+
 def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style sliding-window chunking: 32-token windows advancing by
     24 (8-token overlap), one row per (doc, chunk) with exact token
@@ -2217,6 +2230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
     "doc_chunk_spans": q_doc_chunk_spans,
+    "emb_pca_moments": q_emb_pca_moments,
     "doc_dup_spans": q_doc_dup_spans,
     "emb_semdedup": q_emb_semdedup,
     "doc_shard_shuffle": q_doc_shard_shuffle,
@@ -3462,6 +3476,21 @@ dropped AS (
 SELECT a.vec_id, a.centroid_id, a.csim AS centroid_sim,
   d.vec_id IS NULL AS keep
 FROM a LEFT JOIN dropped d USING (vec_id)
+""",
+    # distributed PCA fit stats: population mean/covariance, upper triangle
+    "emb_pca_moments": """
+WITH ex AS (
+  SELECT vec_id, CAST(i.i AS INT) - 1 AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) i(i)
+)
+SELECT a.i AS i, b.i AS j,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  round(sum(a.v) / count(*), 6) + 0.0 AS mean_i,
+  round(sum(b.v) / count(*), 6) + 0.0 AS mean_j,
+  round(sum(a.v * b.v) / count(*)
+        - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) + 0.0 AS cov_ij
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
 """,
     # sliding-window chunking: spans are a pure function of n_tokens
     "doc_chunk_spans": """

@@ -931,3 +931,60 @@ def test_chunk_spans_windows_and_edges(spark):
         for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
             assert s1 == s0 + 6 and s1 < e0  # stride + genuine overlap
         assert {r.doc_id: r.n_chunks for r in rows}[doc_id] == len(spans)
+
+
+def test_embedding_moments_matches_numpy_cov(spark):
+    """Distributed covariance == numpy population covariance (within the
+    6-decimal oracle rounding), across multiple partitions."""
+    import numpy as np
+
+    from otel_arrow_adapter_spark.functions.similarity import embedding_moments
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 5))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "vec_id long, embedding array<double>"
+    ).repartition(4)
+    rows = embedding_moments(df).collect()
+    assert len(rows) == 5 * 6 // 2
+    cov = np.cov(x.T, bias=True)
+    mean = x.mean(axis=0)
+    for r in rows:
+        assert r.n_vecs == 40
+        assert abs(r.mean_i - mean[r.i]) <= 2e-6
+        assert abs(r.mean_j - mean[r.j]) <= 2e-6
+        assert abs(r.cov_ij - cov[r.i, r.j]) <= 2e-6
+
+
+def test_pca_project_recovers_planted_direction(spark):
+    """PCA transform: top component captures the planted high-variance
+    direction; projections are centered, variance-ordered, uncorrelated."""
+    import numpy as np
+
+    from otel_arrow_adapter_spark.functions.similarity import pca_project
+
+    rng = np.random.default_rng(11)
+    d, n = 6, 200
+    direction = np.zeros(d)
+    direction[2] = 1.0  # plant 10x variance on axis 2
+    x = rng.normal(size=(n, d)) * 0.3 + rng.normal(size=(n, 1)) * 3.0 * direction
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "vec_id long, embedding array<double>"
+    ).repartition(3)
+    out = pca_project(df, k=3)
+    assert out.columns == ["vec_id", "embedding", "projection"]
+    proj = np.array(
+        [r.projection for r in sorted(out.collect(), key=lambda r: r.vec_id)]
+    )
+    assert proj.shape == (n, 3)
+    # centered (fit mean == data mean up to oracle rounding)
+    assert np.abs(proj.mean(axis=0)).max() < 1e-3
+    var = proj.var(axis=0)
+    assert var[0] > var[1] >= var[2]  # descending eigenvalue order
+    # top component is the planted axis: |corr| with x[:,2] ~ 1
+    corr = np.corrcoef(proj[:, 0], x[:, 2])[0, 1]
+    assert abs(corr) > 0.99
+    # components orthogonal -> projections uncorrelated
+    c = np.cov(proj.T)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-2
