@@ -2192,6 +2192,22 @@ def q_doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_shuffle(d, n_shards=16, seed="epoch0")
 
 
+def q_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard over documents + planted exact
+    copies (doc_id%10==0, inheriting source/lang): doc count, exact-dup
+    rate, mean quality, mean tokens, language spread. One fingerprint
+    shuffle + a co-partitioned narrow join + a tiny source rollup."""
+    from otel_arrow_adapter_spark.functions.text import source_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    plus = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return source_profile(plus)
+
+
 def q_emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA fit statistics: mean + population covariance of the
     64-dim embedding corpus via per-partition numpy partials (count,
@@ -2231,6 +2247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- NEW in r5, never driver-gated: first --
     "doc_chunk_spans": q_doc_chunk_spans,
     "emb_pca_moments": q_emb_pca_moments,
+    "doc_source_profile": q_doc_source_profile,
     "doc_dup_spans": q_doc_dup_spans,
     "emb_semdedup": q_emb_semdedup,
     "doc_shard_shuffle": q_doc_shard_shuffle,
@@ -3476,6 +3493,53 @@ dropped AS (
 SELECT a.vec_id, a.centroid_id, a.csim AS centroid_sim,
   d.vec_id IS NULL AS keep
 FROM a LEFT JOIN dropped d USING (vec_id)
+""",
+    # per-source dashboard: dup rate + micro-unit integer quality means
+    "doc_source_profile": """
+WITH docs_plus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 10 = 0
+), f AS (
+  SELECT doc_id, source, lang,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    CAST(round(round((
+      least((CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END) / 50.0, 1.0) * 0.4
+      + (CASE WHEN (CASE WHEN length(trim(text)) > 0 THEN
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it')))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END) > 0.01
+             AND (CASE WHEN length(trim(text)) > 0 THEN
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it')))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END) < 0.6
+            THEN 1.0 ELSE 0.3 END) * 0.3
+      + (1.0 - least((CASE WHEN length(lower(text)) > 0
+            THEN (length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                 / CAST(length(lower(text)) AS DOUBLE)
+            ELSE 0.0 END) * 5, 1.0)) * 0.3
+    ), 6) * 1000000) AS BIGINT) AS q6
+  FROM docs_plus
+), c AS (
+  SELECT fp, count(*) AS n_fp FROM f GROUP BY fp
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  round(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+    + 0.0 AS dup_rate,
+  round(sum(q6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_quality,
+  round(sum(n_tokens) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM f JOIN c USING (fp)
+GROUP BY source
 """,
     # distributed PCA fit stats: population mean/covariance, upper triangle
     "emb_pca_moments": """

@@ -604,3 +604,41 @@ def chunk_spans(
         )
         .select("doc_id", "n_tokens", "n_chunks", "chunk_idx", "tok_start", "tok_end")
     )
+
+
+def source_profile(docs: DataFrame) -> DataFrame:
+    """Per-source corpus health rollup — the curation dashboard a data
+    team watches while mixing sources: document count, exact-duplicate
+    rate (share of docs whose global fingerprint appears >1 time),
+    mean quality score, mean token count, and language spread.
+
+    Shape: the only corpus-scale shuffle is the fingerprint groupBy; the
+    doc->fp-count join re-shuffles a narrow 5-column projection on the
+    SAME key (co-partitioned, no extra exchange footprint under AQE);
+    the final per-source groupBy is map-side combined into a handful of
+    rows. Mean quality sums micro-unit INTEGERS (round(q*1e6)) so the
+    result is summation-order-independent — engine-portable without a
+    float-accumulation hash hazard.
+
+    Returns (source, n_docs, n_dup_docs, dup_rate, mean_quality,
+    mean_tokens, n_langs)."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")) * 1e6).cast("long").alias("q6"),
+    )
+    fpc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    joined = base.join(fpc, "fp")
+    n = F.count(F.lit(1))
+    n_dup = F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+    return joined.groupBy("source").agg(
+        n.alias("n_docs"),
+        n_dup.cast("long").alias("n_dup_docs"),
+        (F.round(n_dup / n, 6) + 0.0).alias("dup_rate"),
+        F.round(F.sum("q6") / n / F.lit(1e6), 6).alias("mean_quality"),
+        F.round(F.sum("n_tokens") / n, 6).alias("mean_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )

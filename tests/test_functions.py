@@ -988,3 +988,29 @@ def test_pca_project_recovers_planted_direction(spark):
     c = np.cov(proj.T)
     off = c - np.diag(np.diag(c))
     assert np.abs(off).max() < 1e-2
+
+
+def test_source_profile_dup_rate_and_means(spark):
+    """Per-source rollup: a duplicate pair that STRADDLES two sources
+    counts as a dup doc in BOTH (global fingerprint grain), means and
+    language spread are per source."""
+    from otel_arrow_adapter_spark.functions.text import source_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same text", "en", "web"),
+            (2, "the same text", "en", "web"),  # dup within web
+            (3, "The  Same   Text", "en", "code"),  # dup of 1/2 across source
+            (4, "totally different words here", "de", "code"),
+            (5, "another unique doc", "en", "code"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in source_profile(docs).collect()}
+    web, code = rows["web"], rows["code"]
+    assert (web.n_docs, web.n_dup_docs, web.n_langs) == (2, 2, 1)
+    assert web.dup_rate == 1.0
+    assert (code.n_docs, code.n_dup_docs, code.n_langs) == (3, 1, 2)
+    assert abs(code.dup_rate - round(1 / 3, 6)) < 1e-9
+    assert code.mean_tokens == round((3 + 4 + 3) / 3, 6)
+    assert 0.0 < code.mean_quality <= 1.0
