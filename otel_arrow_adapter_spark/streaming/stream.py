@@ -352,3 +352,38 @@ def dedup_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_windowed_activity(
+    labeled: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time sessionization with the native ``session_window`` —
+    the streaming form of the batch gap-island sessionizer
+    (events_sessionize): per (conv_id, session) turn counts, signal
+    spread, and exact session bounds.
+
+    Unlike the batch window (which needs the whole conversation sorted),
+    the engine merges session fragments ACROSS micro-batches in the
+    state store and the watermark bounds both late-data tolerance and
+    state size — per-key state is O(open sessions within the watermark
+    horizon), never O(stream length). Out-of-order turns that bridge two
+    provisional sessions collapse them into one, exactly like the batch
+    semantics.
+
+    Returns (session_start, session_end, conv_id, n_turns, n_sinks).
+    """
+    return (
+        labeled.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct("sink").alias("n_sinks"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+            "n_sinks",
+        )
+    )

@@ -286,3 +286,41 @@ def test_paced_replay_feeds_full_pipeline(spark, small_catalog, tmp_path):
     assert routed.count() == 4
     sinks = {r.sink: r["cnt"] for r in routed.groupBy("sink").agg(F.count("*").alias("cnt")).collect()}
     assert sinks == {"logs": 1, "metrics": 1, "traces": 1, "quarantine": 1}
+
+
+def test_stream_session_windows(spark, transcripts, tmp_path):
+    """Native session_window sessionization: sessions cover every turn
+    exactly once, per-conv sessions are disjoint and separated by more
+    than the gap, and a bridging late turn merges fragments (engine
+    semantics across micro-batches)."""
+    from otel_arrow_adapter_spark.streaming.stream import session_windowed_activity
+
+    src = str(tmp_path / "sess_src")
+    transcripts.repartition(3).write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files=1)  # several batches
+    # files arrive in arbitrary ts order: the watermark must cover the
+    # whole dataset span or cross-batch "late" turns are dropped
+    agg = session_windowed_activity(
+        build_stream(stream), gap="10 minutes", watermark="3650 days"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from sess").collect()
+    assert sum(r.n_turns for r in got) == transcripts.count()
+    by_conv = {}
+    for r in got:
+        assert r.session_start < r.session_end
+        assert 1 <= r.n_sinks <= 4
+        by_conv.setdefault(r.conv_id, []).append((r.session_start, r.session_end))
+    for spans in by_conv.values():
+        spans.sort()
+        for (_, e0), (s1, _) in zip(spans, spans[1:]):
+            # session end = last event + gap; a later session starting at or
+            # before that end would have been merged by the engine
+            assert s1 > e0
