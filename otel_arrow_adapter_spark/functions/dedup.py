@@ -261,13 +261,23 @@ def dup_clusters(
     )
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     # self-loop per node: one edges⋈labels→min covers "own label vs
-    # neighbors' labels" without a second reference to the labels frame
+    # neighbors' labels" without a second reference to the labels frame.
+    # localCheckpoint, NOT persist: a persisted edges frame still EMBEDS
+    # the whole pair-finder plan (LSH -> Jaccard, hundreds of nodes), and
+    # every round's query re-analyzes that tree even though execution hits
+    # the cache — measured ~8 s of pure Catalyst planning per round at
+    # sf0.1 vs <1 s once the lineage is cut to a flat LogicalRDD.
     edges = (
         sym.unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    # initial labels derive from the FLAT edges (self-loop rows are exactly
+    # the node set), so no plan ever references the pair finder again; no
+    # checkpoint of its own needed — round 0's checkpoint truncates it
+    labels = edges.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id"), F.col("src").alias("label")
+    )
 
     def _propagate(lbl: DataFrame) -> DataFrame:
         # The self-loop row (src==dst) carries dst's PREVIOUS label through
@@ -304,7 +314,9 @@ def dup_clusters(
             (F.col("doc_id") == F.col("label")).alias("is_rep"),
         )
     )
-    out = owned_result(out, edges)
+    out = out.persist()
+    out.count()
+    _free_local_checkpoint(edges)
     _free_local_checkpoint(labels)
     return out
 
@@ -351,8 +363,12 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     Local checkpoints persist at RDD level (MEMORY_AND_DISK), which the
     Dataset-level ``unpersist()`` / CacheManager never sees — without this
     every propagation round would leak one per-doc RDD for the session
-    (tests/test_functions.py::test_no_lingering_caches_* is the gate)."""
-    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    (tests/test_functions.py::test_no_lingering_caches_* is the gate).
+    No-op for a frame that was never checkpointed (plain logical plans
+    have no RDD handle to free)."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(False)
 
 
 # ---------------------------------------------------------------------------
