@@ -32,3 +32,16 @@ def owned_result(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     for df in intermediates:
         df.unpersist()
     return result
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the RDD behind a ``localCheckpoint()``-ed DataFrame.
+
+    Local checkpoints persist at RDD level (MEMORY_AND_DISK), which the
+    Dataset-level ``unpersist()`` / CacheManager never sees — an iterative
+    loop that checkpoints per round would otherwise leak one RDD per round
+    for the session. No-op for frames that were never checkpointed (plain
+    logical plans carry no RDD handle)."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(False)

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import free_local_checkpoint as _free_local_checkpoint
 from ..caching import owned_result
 from .text import fingerprint, shingles
 
@@ -357,18 +358,6 @@ def leakage_free_split(
     )
 
 
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Release the RDD behind a ``localCheckpoint()``-ed DataFrame.
-
-    Local checkpoints persist at RDD level (MEMORY_AND_DISK), which the
-    Dataset-level ``unpersist()`` / CacheManager never sees — without this
-    every propagation round would leak one per-doc RDD for the session
-    (tests/test_functions.py::test_no_lingering_caches_* is the gate).
-    No-op for a frame that was never checkpointed (plain logical plans
-    have no RDD handle to free)."""
-    plan = df._jdf.queryExecution().analyzed()
-    if plan.getClass().getSimpleName() == "LogicalRDD":
-        plan.rdd().unpersist(False)
 
 
 # ---------------------------------------------------------------------------

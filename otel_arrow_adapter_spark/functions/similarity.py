@@ -224,13 +224,18 @@ def kmeans_train(
     Per iteration: broadcast k centroids, argmax-assign (one shuffle on
     vec_id), recompute means by (centroid, dim) — posexplode to dim grain
     so the mean is a plain map-side-combined agg, never a whole-vector
-    reduce on one task. Each iteration's centroids are persisted and
-    eagerly materialized (count() of k rows — the same one job the next
-    iteration's broadcast would trigger anyway), which lets the PREVIOUS
-    iteration's cache be released immediately: resident footprint is
-    2 x k x dim instead of iters x k x dim, with no driver-side collect of
-    vector data. The caller owns the returned (persisted) centroids and
-    should unpersist when done."""
+    reduce on one task. Each iteration's centroids are eagerly
+    ``localCheckpoint``-ed (the same one k-row job the next iteration's
+    broadcast would trigger anyway) and the PREVIOUS iteration's RDD is
+    freed immediately: resident footprint is 2 x k x dim instead of
+    iters x k x dim, with no driver-side collect of vector data.
+    Checkpoint, not persist: a persisted frame still EMBEDS the previous
+    iteration's plan, so round plans (and Catalyst re-analysis cost) grow
+    with iteration depth — the same pathology fixed in dup_clusters;
+    truncation keeps every round's plan flat. The caller owns the
+    returned (persisted, flat-lineage) centroids and should unpersist
+    when done."""
+    from ..caching import free_local_checkpoint
     cents = seed_centroids(embeddings, n_centroids, vec_col)
     # normalize so dot-product ranking == cosine ranking
     cents = cents.select(
@@ -259,12 +264,16 @@ def kmeans_train(
             "centroid_id",
             F.transform("c_vec", lambda x: x / norm(F.col("c_vec"))).alias("c_vec"),
         )
-        cents = new_cents.persist()
-        cents.count()  # materialize THIS iteration before dropping the last
+        cents = new_cents.localCheckpoint(eager=True)
         if prev is not None:
-            prev.unpersist()
+            free_local_checkpoint(prev)
         prev = cents
-    return cents
+    # hand the caller a Dataset-level cache (unpersist() works on it) and
+    # free the final checkpoint's RDD-level twin
+    out = cents.persist()
+    out.count()
+    free_local_checkpoint(cents)
+    return out
 
 
 def kmeans_inertia(
