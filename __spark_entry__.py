@@ -2192,6 +2192,17 @@ def q_doc_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_shuffle(d, n_shards=16, seed="epoch0")
 
 
+def q_doc_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: flag the bottom 20% of docs per language by
+    quality score. Thresholds = one stratum-grain exact percentile
+    broadcast back; keep flag = codegen'd comparison on the rounded
+    threshold (tie decisions identical across engines)."""
+    from otel_arrow_adapter_spark.functions.text import quantile_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantile_filter(d, frac=0.2, stratum_col="lang")
+
+
 def q_doc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health dashboard over documents + planted exact
     copies (doc_id%10==0, inheriting source/lang): doc count, exact-dup
@@ -2248,6 +2259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk_spans": q_doc_chunk_spans,
     "emb_pca_moments": q_emb_pca_moments,
     "doc_source_profile": q_doc_source_profile,
+    "doc_quantile_filter": q_doc_quantile_filter,
     "doc_dup_spans": q_doc_dup_spans,
     "emb_semdedup": q_emb_semdedup,
     "doc_shard_shuffle": q_doc_shard_shuffle,
@@ -3493,6 +3505,38 @@ dropped AS (
 SELECT a.vec_id, a.centroid_id, a.csim AS centroid_sim,
   d.vec_id IS NULL AS keep
 FROM a LEFT JOIN dropped d USING (vec_id)
+""",
+    # per-stratum relative quality gate: exact percentile thresholds
+    "doc_quantile_filter": """
+WITH f AS (
+  SELECT doc_id, lang AS stratum,
+    round(
+      least((CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END) / 50.0, 1.0) * 0.4
+      + (CASE WHEN (CASE WHEN length(trim(text)) > 0 THEN
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it')))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END) > 0.01
+             AND (CASE WHEN length(trim(text)) > 0 THEN
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','it')))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END) < 0.6
+            THEN 1.0 ELSE 0.3 END) * 0.3
+      + (1.0 - least((CASE WHEN length(lower(text)) > 0
+            THEN (length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                 / CAST(length(lower(text)) AS DOUBLE)
+            ELSE 0.0 END) * 5, 1.0)) * 0.3
+    , 6) AS quality
+  FROM documents
+), th AS (
+  SELECT stratum, round(quantile_cont(quality, 0.2), 6) + 0.0 AS q_threshold
+  FROM f GROUP BY stratum
+)
+SELECT doc_id, stratum, quality, q_threshold, quality >= q_threshold AS keep
+FROM f JOIN th USING (stratum)
 """,
     # per-source dashboard: dup rate + micro-unit integer quality means
     "doc_source_profile": """

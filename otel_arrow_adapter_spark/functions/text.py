@@ -642,3 +642,41 @@ def source_profile(docs: DataFrame) -> DataFrame:
         F.round(F.sum("n_tokens") / n, 6).alias("mean_tokens"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+def quantile_filter(
+    docs: DataFrame,
+    frac: float = 0.1,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relative quality gate: flag the bottom ``frac`` of documents PER
+    STRATUM by quality score. Absolute thresholds misfire across
+    languages/sources whose score distributions differ (a fixed 0.5 cut
+    can drop half of one language and none of another); per-stratum
+    quantiles adapt the cut to each distribution — the usual corpus-mix
+    hygiene step.
+
+    Shape: thresholds = one exact-percentile aggregate at stratum grain
+    (rows = #strata) joined back broadcast; the keep flag is then a plain
+    codegen'd comparison. At 10^12 docs swap ``percentile`` for
+    ``percentile_approx`` — identical plan shape, no global sort either
+    way. The keep comparison uses the 6-decimal-rounded threshold against
+    the 6-decimal quality so both engines decide ties identically.
+
+    Returns (doc_id, stratum, quality, q_threshold, keep)."""
+    scored = docs.select(
+        "doc_id",
+        F.col(stratum_col).alias("stratum"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    thresholds = scored.groupBy("stratum").agg(
+        (F.round(F.percentile("quality", F.lit(frac)), 6) + 0.0).alias("q_threshold")
+    )
+    return scored.join(F.broadcast(thresholds), "stratum").select(
+        "doc_id",
+        "stratum",
+        "quality",
+        "q_threshold",
+        (F.col("quality") >= F.col("q_threshold")).alias("keep"),
+    )

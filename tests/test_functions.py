@@ -1014,3 +1014,33 @@ def test_source_profile_dup_rate_and_means(spark):
     assert abs(code.dup_rate - round(1 / 3, 6)) < 1e-9
     assert code.mean_tokens == round((3 + 4 + 3) / 3, 6)
     assert 0.0 < code.mean_quality <= 1.0
+
+
+def test_quantile_filter_per_stratum_adaptivity(spark):
+    """The bottom-frac cut adapts per stratum: a uniformly-lower-quality
+    stratum keeps its own top 75%, not whatever an absolute threshold
+    would leave; kept fraction per stratum ~= 1 - frac."""
+    from otel_arrow_adapter_spark.functions.text import quantile_filter
+
+    good = " ".join(["the quick brown fox jumps over it and"] * 8)  # high quality
+    rows = []
+    for i in range(8):
+        rows.append((i, good + f" v{i}", "en"))
+        # short + punctuation-heavy -> uniformly low quality
+        rows.append((100 + i, f"!!! ### $$$ %%% {i}", "zz"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quantile_filter(docs, frac=0.25, stratum_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    for stratum, rs in by.items():
+        kept = [r for r in rs if r.keep]
+        # every doc at-or-above its stratum threshold is kept
+        assert all((r.quality >= r.q_threshold) == r.keep for r in rs)
+        assert 0 < len(kept) < len(rs) or len({r.quality for r in rs}) == 1
+    # the low-quality stratum still KEEPS most of its docs (relative gate);
+    # an absolute cut at en's threshold would drop all of zz
+    en_thresh = by["en"][0].q_threshold
+    zz = by["zz"]
+    assert all(r.quality < en_thresh for r in zz)
+    assert sum(1 for r in zz if r.keep) >= len(zz) // 2
