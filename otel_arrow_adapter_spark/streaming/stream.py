@@ -297,12 +297,12 @@ def dict_stream_stats_sink(stats, widths: tuple[int, ...] = (256, 65536, 1 << 32
     return sink
 
 
-DEDUP_STATE_SCHEMA = "seen array<string>"
+DEDUP_STATE_SCHEMA = "seen array<string>, last_seen array<double>"
 DEDUP_OUT_SCHEMA = "bucket int, doc_id long, fp string"
 
 
 def dedup_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 n_buckets: int = 16) -> DataFrame:
+                 n_buckets: int = 16, ttl_minutes: float | None = None) -> DataFrame:
     """Cross-micro-batch EXACT dedup at ingestion — the streaming form of
     the batch keep-first rule (exact_duplicates / clean_corpus): only the
     FIRST occurrence of each text fingerprint ever passes; later copies are
@@ -317,26 +317,56 @@ def dedup_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     to the smallest ``id_col`` (deterministic, matching the batch
     groupBy(fp).min(struct) keep-first); across batches, arrival order
     wins — exactly the reference's first-seen dictionary semantics applied
-    to whole payloads."""
+    to whole payloads.
+
+    ``ttl_minutes`` bounds state for UNBOUNDED streams: each admitted
+    fingerprint remembers its last-seen processing time (refreshed when a
+    duplicate is suppressed) and is pruned at the next update once idle
+    longer than the TTL — the standard exactness/state trade for
+    ingestion dedup, where duplicates overwhelmingly arrive close
+    together (retries, replays, crawler revisits). Every bucket's state
+    is thus O(fingerprints seen within its last active TTL window), never
+    O(stream history); ``None`` keeps exact forever-dedup. Pruning is
+    update-time only (no GroupStateTimeout: a ProcessingTimeTimeout
+    makes batch-style ``processAllAvailable`` drains spin timeout-only
+    micro-batches forever — same pitfall documented on
+    ``conversation_stats_stateful``), so a bucket that goes idle holds
+    its last pruned window until its next row."""
+    import time  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..functions.text import fingerprint
 
+    ttl_s = None if ttl_minutes is None else ttl_minutes * 60.0
+
     def update(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        now = time.time()
+        if state.exists:
+            fps, stamps = state.get
+            seen = {
+                f: t
+                for f, t in zip(fps, stamps)
+                if ttl_s is None or now - t <= ttl_s
+            }
+        else:
+            seen = {}
         n_before = len(seen)
+        refreshed = False
         out_ids: list[int] = []
         out_fps: list[str] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(id_col)
             for i, fp in zip(pdf[id_col], pdf["fp"]):
                 if fp not in seen:
-                    seen.add(fp)
+                    seen[fp] = now
                     out_ids.append(int(i))
                     out_fps.append(fp)
-        if len(seen) > n_before:
-            state.update((list(seen),))
+                elif ttl_s is not None:
+                    seen[fp] = now  # a suppressed duplicate keeps it hot
+                    refreshed = True
+        if len(seen) != n_before or refreshed:
+            state.update((list(seen.keys()), list(seen.values())))
         yield pd.DataFrame(
             {"bucket": [key[0]] * len(out_ids), "doc_id": out_ids, "fp": out_fps}
         )

@@ -324,3 +324,33 @@ def test_stream_session_windows(spark, transcripts, tmp_path):
             # session end = last event + gap; a later session starting at or
             # before that end would have been merged by the engine
             assert s1 > e0
+
+
+def test_stream_dedup_ttl_evicts_idle_fingerprints(spark, tmp_path):
+    """TTL-bounded dedup state: a fingerprint idle longer than the TTL is
+    forgotten, so a late duplicate is RE-admitted (the exactness/state
+    trade); within the TTL the duplicate is still dropped."""
+    import time
+
+    from otel_arrow_adapter_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "src_dedup_ttl")
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    # 50 ms TTL: anything not seen again within 50 ms is evicted
+    deduped = dedup_stream(stream, n_buckets=2, ttl_minutes=0.05 / 60)
+    q = deduped.writeStream.format("memory").queryName("dqt").outputMode("append").start()
+    q.processAllAvailable()
+    time.sleep(0.3)  # let the fingerprints go idle past the TTL
+    spark.createDataFrame(
+        [(9, "alpha text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    kept = {r.doc_id for r in spark.sql("select * from dqt").collect()}
+    # id 9 passes: its fingerprint was evicted between batches
+    assert kept == {1, 2, 9}
