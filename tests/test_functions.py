@@ -1044,3 +1044,80 @@ def test_quantile_filter_per_stratum_adaptivity(spark):
     zz = by["zz"]
     assert all(r.quality < en_thresh for r in zz)
     assert sum(1 for r in zz if r.keep) >= len(zz) // 2
+
+
+def _ref_bpe_train(word_freqs, n_merges, min_pair_count=2):
+    """Sequential reference BPE (Sennrich et al. 2016, alg. 1) with the
+    same lexicographic tie-break — the differential oracle."""
+    vocab = {tuple(w): n for w, n in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """Distributed BPE training == the sequential Sennrich algorithm on
+    the same corpus: identical ranked merge list (argmax + lexicographic
+    tie-break), across multiple partitions."""
+    from collections import Counter
+
+    from otel_arrow_adapter_spark.functions.bpe import bpe_apply, bpe_train
+
+    # the classic example vocabulary, embedded in documents with noise
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::4])) for i in range(4)], "doc_id long, text string"
+    ).repartition(3)
+    merges = bpe_train(docs, n_merges=8)
+    ref = _ref_bpe_train(Counter(words), n_merges=8)
+    assert merges == ref
+    assert len(merges) >= 4 and merges[0] == ("e", "s")  # newest+widest: 9
+
+    # application: n_bpe_tokens equals the reference segmentation length
+    out = {r.doc_id: r.n_bpe_tokens for r in bpe_apply(docs, merges).collect()}
+    from otel_arrow_adapter_spark.functions.bpe import _encode_word
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    for i in range(4):
+        expect = sum(len(_encode_word(w, ranks)) for w in words[i::4])
+        assert out[i] == expect
+    # full merges reduce the classic words to single tokens eventually
+    full = bpe_train(docs, n_merges=50, min_pair_count=2)
+    assert full == _ref_bpe_train(Counter(words), n_merges=50)
+
+
+def test_bpe_apply_empty_and_unseen(spark):
+    """Apply-side edges: empty text -> 0 tokens; words never seen in
+    training fall back to characters minus any applicable merges."""
+    from otel_arrow_adapter_spark.functions.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "zq"), (4, "es es")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in bpe_apply(docs, [("e", "s")]).collect()}
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 2  # unseen chars stay chars
+    assert out[4] == 2  # the merge applies to unseen WORDS too
