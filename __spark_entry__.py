@@ -2242,6 +2242,29 @@ def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(d, chunk_size=32, stride=24)
 
 
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011) + codebook
+    utilization: 8 subspaces x 16 seed codewords, L2-argmin codes, grouped
+    to (sub, code_id, n_vecs). Broadcast codebook + one map-side-combined
+    groupBy — the 32x-compression storage path of a 10^9-vector index.
+    Oracle: identical slice/argmin arithmetic via range() joins."""
+    from otel_arrow_adapter_spark.functions.similarity import pq_code_histogram
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_code_histogram(e, m=8, n_codes=16, dim=64)
+
+
+def q_emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10 for query vec 0: broadcast
+    m x k lookup table of query-subvector dot codeword, scores = one
+    groupBy(vec_id) sum over the CODES table (32x smaller than the raw
+    vectors — why PQ serves billion-vector indexes from RAM)."""
+    from otel_arrow_adapter_spark.functions.similarity import pq_search_adc
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_search_adc(e, query_vec_id=0, k=10, m=8, n_codes=16, dim=64)
+
+
 # Ordering matters: the driver samples the FIRST 50 entries for its
 # oracle-correctness gate (CORRECTNESS_r{N}.json).  Queries that have never
 # (or not recently) been behind that gate come first; the long-stable
@@ -2256,6 +2279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "emb_pq_codes": q_emb_pq_codes,
+    "emb_pq_search": q_emb_pq_search,
     "doc_chunk_spans": q_doc_chunk_spans,
     "emb_pca_moments": q_emb_pca_moments,
     "doc_source_profile": q_doc_source_profile,
@@ -4210,6 +4235,60 @@ scoredq AS (
 SELECT vec_id, cos_sim,
   CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
 FROM scoredq ORDER BY rank LIMIT 10
+"""
+)
+
+# Product quantization: 8 subspaces x 8 dims, 16 seed codewords per
+# subspace (the first 16 vectors' subvectors), L2-argmin codes with
+# (dist, code_id) tie-break — the exact arithmetic of
+# functions/similarity.py::pq_encode replayed via range() joins.
+_PQ_CTES = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cb AS (
+  SELECT s.s AS sub, c.vec_id AS code_id, c.embedding AS cv
+  FROM e c, range(0, 8) s(s) WHERE c.vec_id < 16
+),
+dist AS (
+  SELECT e.vec_id, cb.sub, cb.code_id,
+    round(sum(
+      (CAST(e.embedding[cb.sub*8 + j.j] AS DOUBLE) - CAST(cb.cv[cb.sub*8 + j.j] AS DOUBLE))
+      * (CAST(e.embedding[cb.sub*8 + j.j] AS DOUBLE) - CAST(cb.cv[cb.sub*8 + j.j] AS DOUBLE))
+    ), 6) AS dist
+  FROM e CROSS JOIN cb, range(1, 9) j(j)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, sub, code_id FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code_id) = 1
+)"""
+
+ORACLES["emb_pq_codes"] = (
+    _PQ_CTES
+    + """
+SELECT CAST(sub AS INT) AS sub, CAST(code_id AS INT) AS code_id,
+  count(*) AS n_vecs
+FROM best GROUP BY 1, 2
+"""
+)
+
+ORACLES["emb_pq_search"] = (
+    _PQ_CTES
+    + """,
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cb.sub, cb.code_id,
+    round(sum(CAST(q.qv[cb.sub*8 + j.j] AS DOUBLE) * CAST(cb.cv[cb.sub*8 + j.j] AS DOUBLE)), 6) AS part
+  FROM cb, q, range(1, 9) j(j) GROUP BY 1, 2
+),
+adc AS (
+  SELECT b.vec_id, round(sum(l.part), 6) AS adc_score
+  FROM best b JOIN lut l USING (sub, code_id)
+  WHERE b.vec_id <> 0
+  GROUP BY 1
+)
+SELECT vec_id, adc_score,
+  CAST(row_number() OVER (ORDER BY adc_score DESC, vec_id ASC) AS INT) AS rank
+FROM adc ORDER BY rank LIMIT 10
 """
 )
 

@@ -592,6 +592,222 @@ def quantized_cosine_topk(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two arrays (codegen'd, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(
+    embeddings: DataFrame, m: int = 8, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, sub, subvec) — each vector split into ``m`` contiguous
+    subspaces of dim/m dims. Pure slice+explode, narrow (no shuffle)."""
+    d = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(vec_col, s * d + 1, d).cast("array<double>").alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(parts).alias("p")).select(
+        "vec_id", F.col("p.sub").alias("sub"), F.col("p.subvec").alias("subvec")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seed PQ codebooks (sub, code_id, c_vec): subspace s's codewords are
+    the first ``n_codes`` vectors' s-th subvectors — deterministic-first,
+    the same oracle-checkable init as :func:`seed_centroids`. Use
+    :func:`pq_train_codebooks` for Lloyd-refined codebooks."""
+    return pq_subvectors(
+        embeddings.where(F.col("vec_id") < n_codes), m, dim, vec_col
+    ).select("sub", F.col("vec_id").cast("int").alias("code_id"), F.col("subvec").alias("c_vec"))
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): per (vector,
+    subspace), the L2-nearest codeword — (vec_id, sub, code_id, dist).
+
+    Scale shape at 10^9 vectors: the codebook is m x k rows (128 here,
+    4096 at PQ64x256) and is BROADCAST; scoring explodes each vector to m
+    subvector rows (narrow) and the argmin is one map-side-combined
+    groupBy on (vec_id, sub) — a vector's m rows start co-partitioned, so
+    the partial aggregation collapses them before the exchange. No
+    windows, no UDFs; distances are codegen'd zip_with folds. Storage
+    story: m codes x log2(k) bits replaces dim floats (here 8 bytes vs
+    256 — the 32x compression PQ exists for)."""
+    sv = pq_subvectors(embeddings, m, dim, vec_col)
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        "vec_id",
+        "sub",
+        "code_id",
+        F.round(_l2sq(F.col("subvec"), F.col("c_vec")), 6).alias("dist"),
+    )
+    # deterministic argmin: min over (dist, code_id) breaks ties toward the
+    # smaller code id (mirrors the oracle's ORDER BY dist, code_id)
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "code_id")).alias("_b")
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("_b.code_id").alias("code_id"),
+        F.col("_b.dist").alias("dist"),
+    )
+
+
+def pq_code_histogram(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Codebook utilization: (sub, code_id, n_vecs) — the index-health
+    dashboard for a PQ deployment (a dead codeword wastes a code point;
+    a hot one degrades ADC resolution)."""
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, n_codes, dim, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, vec_col)
+    return codes.groupBy("sub", "code_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def pq_search_adc(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the FAISS IVFADC
+    search half: score(v) = Σ_sub lut[sub][code(v,sub)] where the lookup
+    table holds the RAW query subvector's dot product with every codeword
+    (query stays unquantized; only the database side is coded).
+
+    Scale shape: the LUT is m x k rows computed from one broadcast of the
+    query — broadcast again to the codes table, so search is a broadcast
+    hash join + one map-side-combined groupBy(vec_id) + top-k
+    (TakeOrderedAndProject). The codes table is the only big operand and
+    it is 32x smaller than the raw vectors — that, plus never shipping
+    vectors to the scorer, is why PQ serves 10^9-vector indexes from RAM.
+    Returns (vec_id, adc_score, rank) — scores approximate the dot
+    product; rescore the top-k against raw vectors when exactness
+    matters (cf. :func:`ivf_search` composition)."""
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, n_codes, dim, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, vec_col)
+    qsv = pq_subvectors(
+        embeddings.where(F.col("vec_id") == query_vec_id), m, dim, vec_col
+    ).select("sub", F.col("subvec").alias("q_sub"))
+    lut = cb.join(F.broadcast(qsv), "sub").select(
+        "sub", "code_id", F.round(dot(F.col("c_vec"), F.col("q_sub")), 6).alias("part")
+    )
+    scored = (
+        codes.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["sub", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    )
+    top = scored.orderBy(F.desc("adc_score"), F.asc("vec_id")).limit(k)
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("adc_score")).alias("_neg"), "vec_id", "adc_score"))
+    )
+    return (
+        top.agg(arr.alias("_v"))
+        .select(F.posexplode("_v").alias("_pos", "_s"))
+        .select(
+            F.col("_s.vec_id").alias("vec_id"),
+            F.col("_s.adc_score").alias("adc_score"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks: k-means per subspace, ALL subspaces
+    trained in one grouped job (the per-subspace problems share every
+    shuffle — keys are (sub, code_id), never m separate jobs).
+
+    Per round: broadcast the m x k codebooks, argmin-assign each subvector
+    (one map-side-combined groupBy), recompute codewords at (sub, code,
+    dim) grain via posexplode + avg — the same never-a-whole-vector-reduce
+    shape as :func:`kmeans_train`. Empty codes keep their previous
+    codeword (left-join coalesce), so the codebook stays exactly m x k.
+    Rounds are ``localCheckpoint``-ed flat (persist would re-analyze the
+    growing plan every round — see kmeans_train's docstring); the caller
+    owns the returned persisted frame."""
+    from ..caching import free_local_checkpoint
+
+    sv = pq_subvectors(embeddings, m, dim, vec_col)
+    cb = pq_codebooks(embeddings, m, n_codes, dim, vec_col)
+    prev: DataFrame | None = None
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(cb), "sub").select(
+            "vec_id",
+            "sub",
+            "code_id",
+            F.round(_l2sq(F.col("subvec"), F.col("c_vec")), 6).alias("dist"),
+        )
+        best = scored.groupBy("vec_id", "sub").agg(
+            F.min(F.struct("dist", "code_id")).alias("_b")
+        )
+        assigned = best.select(
+            "vec_id", "sub", F.col("_b.code_id").alias("code_id")
+        )
+        by_dim = (
+            sv.join(assigned, ["vec_id", "sub"])
+            .select("sub", "code_id", F.posexplode("subvec").alias("d", "x"))
+            .groupBy("sub", "code_id", "d")
+            .agg(F.avg("x").alias("cm"))
+        )
+        means = by_dim.groupBy("sub", "code_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cm"))), lambda s: s["cm"]
+            ).alias("new_vec")
+        )
+        new_cb = (
+            cb.join(means, ["sub", "code_id"], "left")
+            .select("sub", "code_id", F.coalesce("new_vec", "c_vec").alias("c_vec"))
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            free_local_checkpoint(prev)
+        prev = new_cb
+        cb = new_cb
+    out = cb.persist()
+    out.count()
+    free_local_checkpoint(cb)
+    return out
+
+
 def embedding_moments(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Distributed second-moment statistics — the "fit" half of PCA /
     whitening over an embedding corpus: per-partition numpy partials

@@ -1121,3 +1121,61 @@ def test_bpe_apply_empty_and_unseen(spark):
     assert out[1] == 0 and out[2] == 0
     assert out[3] == 2  # unseen chars stay chars
     assert out[4] == 2  # the merge applies to unseen WORDS too
+
+
+def test_pq_encode_seed_vectors_code_to_themselves(spark, emb):
+    """Seed codebooks are the first n_codes vectors' subvectors, so those
+    vectors must encode to their own code with distance 0 in EVERY
+    subspace; every vector gets exactly m codes."""
+    from otel_arrow_adapter_spark.functions.similarity import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(emb, m=8, n_codes=16, dim=64)
+    codes = pq_encode(emb, cb, m=8, dim=64).cache()
+    assert codes.count() == emb.count() * 8
+    self_rows = codes.where(F.col("vec_id") < 16).collect()
+    assert len(self_rows) == 16 * 8
+    assert all(r.code_id == r.vec_id and r.dist == 0.0 for r in self_rows)
+    codes.unpersist()
+
+
+def test_pq_adc_exact_when_vectors_live_on_codewords(spark):
+    """Known answer: when every vector's subvectors are copies of seed
+    subvectors, quantization is lossless, so ADC == the exact dot product
+    and the ADC top-k equals brute-force top-k (dim=8, m=2, k=2)."""
+    from otel_arrow_adapter_spark.functions.similarity import pq_search_adc
+
+    a, b = [1.0, 0.0, 2.0, 0.0], [0.0, 3.0, 0.0, 1.0]
+    rows = [
+        (0, a + b),          # seed/code 0
+        (1, b + a),          # seed/code 1
+        (2, a + a),          # codes (0 in sub0-space of seed0, ...)
+        (3, b + b),
+        (4, a + b),          # exact duplicate of the query vector 0
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_search_adc(e, query_vec_id=0, k=4, m=2, n_codes=2, dim=8).collect()
+    # exact dots with q = a+b: v4 = |a|^2+|b|^2 = 15, v2 = |a|^2 + a.b(=0)... compute:
+    # dot(q, v1) = a.b + b.a = 0; dot(q, v2) = |a|^2 + a.b = 5; dot(q, v3) = b.a + |b|^2 = 10
+    want = [(4, 15.0, 1), (3, 10.0, 2), (2, 5.0, 3), (1, 0.0, 4)]
+    assert [(r.vec_id, r.adc_score, r.rank) for r in got] == want
+
+
+def test_pq_train_reduces_quantization_error_and_keeps_shape(spark, emb):
+    """Lloyd-per-subspace must not worsen total quantization error vs the
+    seed codebooks, and the codebook stays exactly m x k (empty codes keep
+    their previous codeword)."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    def total_err(cb):
+        return pq_encode(emb, cb, m=8, dim=64).agg(F.sum("dist")).collect()[0][0]
+
+    seed = pq_codebooks(emb, m=8, n_codes=8, dim=64)
+    trained = pq_train_codebooks(emb, m=8, n_codes=8, iters=2, dim=64)
+    assert trained.count() == 8 * 8
+    assert trained.select("sub", "code_id").distinct().count() == 8 * 8
+    assert total_err(trained) <= total_err(seed) + 1e-6
+    trained.unpersist()
