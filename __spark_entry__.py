@@ -2242,6 +2242,19 @@ def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(d, chunk_size=32, stride=24)
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with Stupid Backoff (Brants et al. 2007),
+    the KenLM-shaped perplexity filter: LM trained on the doc_id%10!=0
+    reference subset, ALL docs scored — unseen bigrams back off to
+    alpha*c(w2)/N, unseen unigrams floor at -20. Unigram counts broadcast
+    (Heaps-sublinear types); the bigram score join is a same-key shuffle
+    join (broadcast would not hold at open-web scale)."""
+    from otel_arrow_adapter_spark.functions.text import bigram_logprob
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob(d, lm_docs=d.where(F.col("doc_id") % 10 != 0))
+
+
 def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (Jégou et al. 2011) + codebook
     utilization: 8 subspaces x 16 seed codewords, L2-argmin codes, grouped
@@ -2279,6 +2292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_search": q_emb_pq_search,
     "doc_chunk_spans": q_doc_chunk_spans,
@@ -4237,6 +4251,39 @@ SELECT vec_id, cos_sim,
 FROM scoredq ORDER BY rank LIMIT 10
 """
 )
+
+# Stupid-Backoff bigram LM (Brants et al. 2007): trained on the
+# doc_id%10!=0 subset, scored over all docs — the exact arithmetic of
+# functions/text.py::bigram_logprob (seen: ln(c12/c1); backoff:
+# ln(0.4*c2/N); OOV floor -20).
+ORACLES["doc_bigram_logprob"] = """
+WITH toks_all AS (
+  SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+big_all AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg
+  FROM toks_all WHERE len(t) >= 2
+),
+bigf AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big_all),
+lm_toks AS (SELECT unnest(t) AS tok FROM toks_all WHERE doc_id % 10 <> 0),
+uni AS (SELECT tok, count(*) AS c_uni FROM lm_toks GROUP BY tok),
+tot AS (SELECT sum(c_uni) AS n_total FROM uni),
+bi AS (SELECT w1, w2, count(*) AS c_bi FROM bigf WHERE doc_id % 10 <> 0 GROUP BY 1, 2)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(CASE
+    WHEN b.c_bi IS NOT NULL THEN ln(CAST(b.c_bi AS DOUBLE) / CAST(u1.c_uni AS DOUBLE))
+    WHEN u2.c_uni IS NOT NULL THEN ln(0.4 * CAST(u2.c_uni AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+    ELSE -20.0 END), 6) AS mean_logprob
+FROM bigf f
+LEFT JOIN bi b USING (w1, w2)
+LEFT JOIN uni u1 ON f.w1 = u1.tok
+LEFT JOIN uni u2 ON f.w2 = u2.tok
+CROSS JOIN tot t
+GROUP BY f.doc_id
+"""
 
 # Product quantization: 8 subspaces x 8 dims, 16 seed codewords per
 # subspace (the first 16 vectors' subvectors), L2-argmin codes with

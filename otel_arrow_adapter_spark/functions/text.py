@@ -411,6 +411,73 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+    oov_logprob: float = -20.0,
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram-LM quality scoring with Stupid Backoff (Brants et al. 2007)
+    — the KenLM-shaped upgrade of :func:`unigram_logprob`: score each
+    document by the mean log-score of its adjacent token pairs under a
+    reference corpus LM, S(w2|w1) = c(w1 w2)/c(w1) when the bigram was
+    seen, else alpha * c(w2)/N, else ``oov_logprob``. Train on ``lm_docs``
+    (default: the scored corpus itself) — pass a held-out/reference subset
+    so the backoff path actually fires, the production quality-filter
+    setup. Returns (doc_id, n_bigrams, mean_logprob) for docs with >= 2
+    tokens.
+
+    Scale shape: bigram extraction is slice+zip_with+explode — narrow,
+    codegen'd, no Python. Unigram counts are token TYPES (Heaps-sublinear)
+    and BROADCAST twice (w1 denominator, w2 backoff). Bigram counts are
+    bigram TYPES — too big to broadcast at open-web scale, so the score
+    join is a plain shuffle join on (w1, w2): both sides hash-partition on
+    the same key, AQE handles the skewed head ("of the"). Per-doc
+    aggregation is map-side-combined (a doc's bigrams start
+    co-partitioned; the explode is narrow)."""
+    def bigrams(frame: DataFrame) -> DataFrame:
+        t = tokens(normalize_text(F.col(text_col)))
+        base = frame.select("doc_id", t.alias("_t")).where(F.size("_t") >= 2)
+        pairs = F.zip_with(
+            F.slice("_t", 1, F.size("_t") - 1),
+            F.slice("_t", 2, F.size("_t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return base.select("doc_id", F.explode(pairs).alias("bg")).select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    lm = lm_docs if lm_docs is not None else docs
+    lm_toks = lm.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"))
+    uni = lm_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("n_total"))
+    bi = bigrams(lm).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+
+    scored = (
+        bigrams(docs)
+        .join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c1"))), "w1", "left")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c_uni").alias("c2"))), "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    logp = (
+        F.when(
+            F.col("c_bi").isNotNull(),
+            F.log(F.col("c_bi").cast("double") / F.col("c1").cast("double")),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.log(F.lit(float(alpha)) * F.col("c2").cast("double") / F.col("n_total").cast("double")),
+        )
+        .otherwise(F.lit(float(oov_logprob)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(logp), 6).alias("mean_logprob"),
+    )
+
+
 def length_histogram(
     docs: DataFrame,
     stratum_col: str = "lang",

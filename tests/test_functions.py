@@ -1179,3 +1179,27 @@ def test_pq_train_reduces_quantization_error_and_keeps_shape(spark, emb):
     assert trained.select("sub", "code_id").distinct().count() == 8 * 8
     assert total_err(trained) <= total_err(seed) + 1e-6
     trained.unpersist()
+
+
+def test_bigram_logprob_stupid_backoff_known_answer(spark):
+    """Hand-computed Stupid Backoff: LM on docs 1-2, scoring exercises all
+    three arms — seen bigram ln(c12/c1), backoff ln(0.4*c2/N), OOV floor."""
+    import math
+
+    from otel_arrow_adapter_spark.functions.text import bigram_logprob
+
+    lm = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(3, "a b c d"), (4, "c a"), (5, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob(score, lm_docs=lm).collect()}
+    # uni: a=2 b=3 c=1, N=6; bi: (a,b)=2 (b,a)=1 (b,c)=1
+    assert out[3].n_bigrams == 3
+    want3 = (math.log(2 / 2) + math.log(1 / 3) + (-20.0)) / 3  # seen, seen, OOV(d)
+    assert out[3].mean_logprob == pytest.approx(round(want3, 6), abs=1e-6)
+    assert out[4].n_bigrams == 1
+    want4 = math.log(0.4 * 2 / 6)  # (c,a) unseen bigram -> backoff to c(a)/N
+    assert out[4].mean_logprob == pytest.approx(round(want4, 6), abs=1e-6)
+    assert 5 not in out  # single-token docs have no bigrams
