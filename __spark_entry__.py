@@ -2242,6 +2242,20 @@ def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(d, chunk_size=32, stride=24)
 
 
+def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (FAISS's billion-vector default, Jégou et al. 2011): coarse
+    IVF probe of 2/10 lists, then asymmetric-distance PQ scoring ONLY
+    inside them — scanned fraction ~ n_probe/n_list AND each item is 8
+    codes instead of 64 floats. Broadcast centroids/LUT, semi-join list
+    restriction, one groupBy(vec_id), TakeOrderedAndProject."""
+    from otel_arrow_adapter_spark.functions.similarity import ivfpq_search
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_search(
+        e, query_vec_id=0, k=10, n_centroids=10, n_probe=2, m=8, n_codes=16, dim=64
+    )
+
+
 def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score with Stupid Backoff (Brants et al. 2007),
     the KenLM-shaped perplexity filter: LM trained on the doc_id%10!=0
@@ -2292,6 +2306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "emb_ivfpq_search": q_emb_ivfpq_search,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_search": q_emb_pq_search,
@@ -2304,7 +2319,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shard_shuffle": q_doc_shard_shuffle,
     "doc_dsir_weights": q_doc_dsir_weights,
     "doc_tfidf_terms": q_doc_tfidf_terms,
-    "doc_length_histogram": q_doc_length_histogram,
     "doc_leakage_free_split": q_doc_leakage_free_split,
     "doc_token_budget_sample": q_doc_token_budget_sample,
     "pipeline_pb_traces_roundtrip": q_pipeline_pb_traces_roundtrip,
@@ -2348,13 +2362,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_dedup": q_conv_dedup,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
-    # -- 53 never-gated r5 queries compete for 50 sample slots; these three
+    # -- 54 never-gated r5 queries compete for 50 sample slots; these four
     # are the ones left outside (each is shadowed by a gated sibling plus a
     # known-answer pytest, and all pass tools/oracle_check.py locally):
-    # doc_repetition_scores (columnar sibling of gated doc_boilerplate_
-    # ngrams), emb_quantized_topk (int8 variant of gated emb_cosine_topk),
-    # events_latency_quantiles_sketch (sketch variant of gated
-    # events_latency_quantiles). Rotate them to the head in r6. --
+    # doc_length_histogram (pure groupBy sibling of gated
+    # doc_source_profile), doc_repetition_scores (columnar sibling of gated
+    # doc_boilerplate_ngrams), emb_quantized_topk (int8 variant of gated
+    # emb_cosine_topk), events_latency_quantiles_sketch (sketch variant of
+    # gated events_latency_quantiles). Rotate them to the head in r6. --
+    "doc_length_histogram": q_doc_length_histogram,
     "doc_repetition_scores": q_doc_repetition_scores,
     "emb_quantized_topk": q_emb_quantized_topk,
     "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
@@ -4338,6 +4354,51 @@ adc AS (
   SELECT b.vec_id, round(sum(l.part), 6) AS adc_score
   FROM best b JOIN lut l USING (sub, code_id)
   WHERE b.vec_id <> 0
+  GROUP BY 1
+)
+SELECT vec_id, adc_score,
+  CAST(row_number() OVER (ORDER BY adc_score DESC, vec_id ASC) AS INT) AS rank
+FROM adc ORDER BY rank LIMIT 10
+"""
+)
+
+# IVFADC: the emb_ivf_search coarse-probe CTEs composed with the _PQ_CTES
+# code arithmetic — ADC scores only vectors assigned to the 2 probed lists.
+ORACLES["emb_ivfpq_search"] = (
+    _PQ_CTES
+    + """,
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvv FROM e WHERE vec_id < 10),
+dots AS (
+  SELECT e.vec_id, c.centroid_id,
+    round(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.cvv[i.i] AS DOUBLE))
+      / (sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))
+         * sqrt(sum(CAST(c.cvv[i.i] AS DOUBLE) * CAST(c.cvv[i.i] AS DOUBLE)))), 6) AS cos_sim
+  FROM e, cents c, range(1, 65) i(i)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM dots
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id ASC) = 1
+),
+probes AS (
+  SELECT centroid_id FROM dots WHERE vec_id = 0
+  ORDER BY cos_sim DESC, centroid_id ASC LIMIT 2
+),
+in_probed AS (
+  SELECT a.vec_id FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> 0
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cb.sub, cb.code_id,
+    round(sum(CAST(q.qv[cb.sub*8 + j.j] AS DOUBLE) * CAST(cb.cv[cb.sub*8 + j.j] AS DOUBLE)), 6) AS part
+  FROM cb, q, range(1, 9) j(j) GROUP BY 1, 2
+),
+adc AS (
+  SELECT b.vec_id, round(sum(l.part), 6) AS adc_score
+  FROM best b
+  JOIN in_probed USING (vec_id)
+  JOIN lut l USING (sub, code_id)
   GROUP BY 1
 )
 SELECT vec_id, adc_score,

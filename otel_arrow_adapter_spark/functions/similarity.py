@@ -744,6 +744,73 @@ def pq_search_adc(
     )
 
 
+def ivfpq_search(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the FAISS default at 10^9 vectors):
+    coarse IVF probe picks n_probe inverted lists, ADC scores ONLY the
+    PQ codes inside them — the two scale levers composed: scanned
+    fraction ≈ n_probe/n_centroids AND each scanned item is m codes, not
+    dim floats (~scan_cost x (n_probe/n_list) x (m·log2(k)/32·dim) vs
+    brute force).
+
+    Plan shape: centroid scoring and the LUT are broadcasts; the list
+    restriction is a broadcast semi-join on the codes table; scoring is
+    one map-side-combined groupBy(vec_id); top-k is
+    TakeOrderedAndProject. The raw vectors are read once (to encode);
+    a deployed index would persist ``pq_encode``'s output and never
+    touch them at query time."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, n_centroids, vec_col)
+    assigned = assign_to_centroids(embeddings, cents, vec_col).select("vec_id", "centroid_id")
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col(vec_col).alias("q_vec"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    in_probed = assigned.join(F.broadcast(probes), "centroid_id", "left_semi")
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, n_codes, dim, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, vec_col)
+    qsv = pq_subvectors(
+        embeddings.where(F.col("vec_id") == query_vec_id), m, dim, vec_col
+    ).select("sub", F.col("subvec").alias("q_sub"))
+    lut = cb.join(F.broadcast(qsv), "sub").select(
+        "sub", "code_id", F.round(dot(F.col("c_vec"), F.col("q_sub")), 6).alias("part")
+    )
+    scored = (
+        codes.join(in_probed.select("vec_id"), "vec_id", "left_semi")
+        .where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["sub", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    )
+    top = scored.orderBy(F.desc("adc_score"), F.asc("vec_id")).limit(k)
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("adc_score")).alias("_neg"), "vec_id", "adc_score"))
+    )
+    return (
+        top.agg(arr.alias("_v"))
+        .select(F.posexplode("_v").alias("_pos", "_s"))
+        .select(
+            F.col("_s.vec_id").alias("vec_id"),
+            F.col("_s.adc_score").alias("adc_score"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
 def pq_train_codebooks(
     embeddings: DataFrame,
     m: int = 8,

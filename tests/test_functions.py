@@ -1203,3 +1203,35 @@ def test_bigram_logprob_stupid_backoff_known_answer(spark):
     want4 = math.log(0.4 * 2 / 6)  # (c,a) unseen bigram -> backoff to c(a)/N
     assert out[4].mean_logprob == pytest.approx(round(want4, 6), abs=1e-6)
     assert 5 not in out  # single-token docs have no bigrams
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark, emb):
+    """With n_probe == n_centroids the IVF restriction is a no-op, so
+    IVFADC must return exactly the plain ADC top-k."""
+    from otel_arrow_adapter_spark.functions.similarity import ivfpq_search, pq_search_adc
+
+    full = ivfpq_search(
+        emb, query_vec_id=0, k=10, n_centroids=10, n_probe=10, m=8, n_codes=16, dim=64
+    ).collect()
+    plain = pq_search_adc(emb, query_vec_id=0, k=10, m=8, n_codes=16, dim=64).collect()
+    assert [(r.vec_id, r.adc_score, r.rank) for r in full] == [
+        (r.vec_id, r.adc_score, r.rank) for r in plain
+    ]
+
+
+def test_ivfpq_probed_results_subset_of_probed_lists(spark, emb):
+    """Every IVFADC result must come from a probed inverted list."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        assign_to_centroids,
+        ivfpq_search,
+        seed_centroids,
+    )
+
+    got = ivfpq_search(emb, query_vec_id=0, k=10, n_centroids=10, n_probe=2).collect()
+    assert len(got) == 10
+    assigned = {
+        r.vec_id: r.centroid_id
+        for r in assign_to_centroids(emb, seed_centroids(emb, 10)).collect()
+    }
+    probed_lists = {assigned[r.vec_id] for r in got}
+    assert len(probed_lists) <= 2
