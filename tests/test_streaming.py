@@ -354,3 +354,50 @@ def test_stream_dedup_ttl_evicts_idle_fingerprints(spark, tmp_path):
     kept = {r.doc_id for r in spark.sql("select * from dqt").collect()}
     # id 9 passes: its fingerprint was evicted between batches
     assert kept == {1, 2, 9}
+
+
+def test_stream_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Watermark semantics end-to-end: after the watermark advances, an
+    event older than (max event time - watermark) is DROPPED from the
+    windowed aggregation, while an in-watermark event still lands."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+
+    def write_batch(rows, part):
+        df = spark.createDataFrame(
+            [
+                (f"c{i}", 0, "tool", "x level=INFO msg=\"m\"", "tool-1",
+                 dt.datetime(2025, 1, 1, h, mi))
+                for i, (h, mi) in enumerate(rows, start=part * 100)
+            ],
+            schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: one row at 00:05 and one at 10:00 -> watermark after this
+    # batch = 10:00 - 1h = 09:00, so the 00:00 window is finalized
+    write_batch([(0, 5), (10, 0)], part=0)
+    stream = read_transcript_stream(spark, src, max_files=1)
+    agg = windowed_sink_counts(build_stream(stream), window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_wc")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE row at 00:30 (behind the 09:00 watermark -> dropped)
+    # and a fresh row at 10:30 (inside the open 10:00 window -> counted)
+    write_batch([(0, 30), (10, 30)], part=1)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "select window_start, max(n_rows) as n from late_wc group by window_start"
+    ).collect()
+    by_window = {r.window_start: r.n for r in got}
+    w00 = dt.datetime(2025, 1, 1, 0, 0)
+    w10 = dt.datetime(2025, 1, 1, 10, 0)
+    assert by_window[w00] == 1, "late row behind the watermark must be dropped"
+    assert by_window[w10] == 2, "in-watermark row must be aggregated"
