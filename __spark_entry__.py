@@ -2242,6 +2242,28 @@ def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(d, chunk_size=32, stride=24)
 
 
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene idf variant) for query terms
+    (spark, join, window): corpus stats and per-term idf are broadcast;
+    the tf table is isin-filtered BEFORE any join so post-stats work is
+    query-sized; top-k is TakeOrderedAndProject. Scores rounded to 6 so
+    both engines rank identically."""
+    from otel_arrow_adapter_spark.functions.text import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(d, query_terms=("spark", "join", "window"), k=20)
+
+
+def q_doc_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(P_source || P_corpus) over unigram distributions —
+    the corpus-drift monitor (crawl regressions, template floods). One
+    (source, token-type) groupBy, corpus vocab broadcast back."""
+    from otel_arrow_adapter_spark.functions.text import source_kl_drift
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_kl_drift(d, stratum_col="source")
+
+
 def q_emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (FAISS's billion-vector default, Jégou et al. 2011): coarse
     IVF probe of 2/10 lists, then asymmetric-distance PQ scoring ONLY
@@ -2306,11 +2328,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_source_kl_drift": q_doc_source_kl_drift,
     "emb_ivfpq_search": q_emb_ivfpq_search,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_search": q_emb_pq_search,
-    "doc_chunk_spans": q_doc_chunk_spans,
     "emb_pca_moments": q_emb_pca_moments,
     "doc_source_profile": q_doc_source_profile,
     "doc_quantile_filter": q_doc_quantile_filter,
@@ -2318,7 +2341,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semdedup": q_emb_semdedup,
     "doc_shard_shuffle": q_doc_shard_shuffle,
     "doc_dsir_weights": q_doc_dsir_weights,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_leakage_free_split": q_doc_leakage_free_split,
     "doc_token_budget_sample": q_doc_token_budget_sample,
     "pipeline_pb_traces_roundtrip": q_pipeline_pb_traces_roundtrip,
@@ -2362,14 +2384,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_dedup": q_conv_dedup,
     "doc_simhash_near_dups": q_doc_simhash_near_dups,
     "doc_dedup_exact": q_doc_dedup_exact,
-    # -- 54 never-gated r5 queries compete for 50 sample slots; these four
+    # -- 56 never-gated r5 queries compete for 50 sample slots; these six
     # are the ones left outside (each is shadowed by a gated sibling plus a
     # known-answer pytest, and all pass tools/oracle_check.py locally):
     # doc_length_histogram (pure groupBy sibling of gated
     # doc_source_profile), doc_repetition_scores (columnar sibling of gated
     # doc_boilerplate_ngrams), emb_quantized_topk (int8 variant of gated
     # emb_cosine_topk), events_latency_quantiles_sketch (sketch variant of
-    # gated events_latency_quantiles). Rotate them to the head in r6. --
+    # gated events_latency_quantiles), doc_tfidf_terms (idf sibling of
+    # gated doc_dsir_weights/doc_bm25_topk), doc_chunk_spans (zero-shuffle
+    # map-only, exact-span pytest). Rotate them to the head in r6. --
+    "doc_chunk_spans": q_doc_chunk_spans,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_repetition_scores": q_doc_repetition_scores,
     "emb_quantized_topk": q_emb_quantized_topk,
@@ -4361,6 +4387,60 @@ SELECT vec_id, adc_score,
 FROM adc ORDER BY rank LIMIT 10
 """
 )
+
+# BM25 (Lucene idf variant). The SQL mirrors the Spark operation ORDER so
+# the doubles agree bit-for-bit before the round-6: (1.2 + 1.0) computed,
+# not folded to a 2.2 literal (1-ulp trap); (0.75*dl)/avgdl left-assoc.
+ORACLES["doc_bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2
+),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT tok, ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl
+  FROM dft, stats
+),
+scored AS (
+  SELECT t.doc_id,
+    round(sum(i.idf * (t.tf * (1.2 + 1.0))
+      / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / i.avgdl))), 6) AS bm25
+  FROM tf t JOIN idf i USING (tok) JOIN doclen d USING (doc_id)
+  GROUP BY 1
+)
+SELECT doc_id, bm25,
+  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+FROM scored ORDER BY rank LIMIT 20
+"""
+
+# KL(P_source || P_corpus) over unigram token distributions, exact.
+ORACLES["doc_source_kl_drift"] = """
+WITH st AS (
+  SELECT source AS stratum,
+    unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+stc AS (SELECT stratum, tok, count(*) AS c_st FROM st GROUP BY 1, 2),
+corpus AS (SELECT tok, sum(c_st) AS c_all FROM stc GROUP BY 1),
+totals AS (SELECT stratum, sum(c_st) AS n_st FROM stc GROUP BY 1),
+grand AS (SELECT sum(c_all) AS n_all FROM corpus)
+SELECT s.stratum, CAST(max(t.n_st) AS BIGINT) AS n_tokens,
+  round(sum((CAST(s.c_st AS DOUBLE) / CAST(t.n_st AS DOUBLE))
+    * ln((CAST(s.c_st AS DOUBLE) / CAST(t.n_st AS DOUBLE))
+         / (CAST(c.c_all AS DOUBLE) / CAST(g.n_all AS DOUBLE)))), 6) AS kl
+FROM stc s
+JOIN corpus c USING (tok)
+JOIN totals t USING (stratum)
+CROSS JOIN grand g
+GROUP BY 1
+"""
 
 # IVFADC: the emb_ivf_search coarse-probe CTEs composed with the _PQ_CTES
 # code arithmetic — ADC scores only vectors assigned to the 2 probed lists.

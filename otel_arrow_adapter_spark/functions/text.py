@@ -478,6 +478,115 @@ def bigram_logprob(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones; Lucene's idf
+    variant ln((N-df+0.5)/(df+0.5)+1)): top-k documents for a bag of
+    query terms — the corpus-side retrieval primitive (eval-set mining,
+    targeted curation, "find me docs about X" over a training corpus).
+
+    Scale shape: doc lengths and term frequencies are map-side-combined
+    groupBys over the exploded tokens (a doc's tokens start
+    co-partitioned — the explode is narrow). The tf table is filtered to
+    the query's terms FIRST (a pushed isin over the token stream), so
+    everything after the corpus-stats pass is query-sized. Corpus stats
+    (N, avgdl) and per-term df/idf are O(1)/O(|q|) rows, broadcast. The
+    tf-to-doclen join keys both sides on doc_id. Returns (doc_id, bm25,
+    rank) with the score rounded to 6 so both engines rank identically."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*query_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("bm25")).alias("_neg"), "doc_id", "bm25"))
+    )
+    return (
+        top.agg(arr.alias("_v"))
+        .select(F.posexplode("_v").alias("_pos", "_s"))
+        .select(
+            F.col("_s.doc_id").alias("doc_id"),
+            F.col("_s.bm25").alias("bm25"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
+def source_kl_drift(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum distribution drift: KL(P_stratum || P_corpus) over the
+    unigram token distributions — the corpus-monitoring number that flags
+    a source whose content mix diverged from the blend (crawl gone wrong,
+    template flood, language shift). KL is exact, not sampled:
+    Σ_t p_s(t)·ln(p_s(t)/p(t)); every stratum token is in the corpus by
+    construction, so the ratio is always finite.
+
+    Scale shape: one (stratum, token-type) groupBy (map-side-combined;
+    output is |strata| x Heaps-sublinear types), the corpus vocab derived
+    from it by a second tiny groupBy, joined back BROADCAST on tok.
+    Returns (stratum, n_tokens, kl) rounded to 6."""
+    st = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).groupBy("stratum", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = st.groupBy("tok").agg(F.sum("c_st").alias("c_all"))
+    totals = st.groupBy("stratum").agg(F.sum("c_st").alias("n_st"))
+    grand = corpus.agg(F.sum("c_all").alias("n_all"))
+    joined = (
+        st.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(totals), "stratum")
+        .crossJoin(F.broadcast(grand))
+    )
+    p_s = F.col("c_st").cast("double") / F.col("n_st").cast("double")
+    p = F.col("c_all").cast("double") / F.col("n_all").cast("double")
+    return (
+        joined.groupBy("stratum")
+        .agg(
+            F.max("n_st").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p)), 6).alias("kl"),
+        )
+    )
+
+
 def length_histogram(
     docs: DataFrame,
     stratum_col: str = "lang",

@@ -1235,3 +1235,55 @@ def test_ivfpq_probed_results_subset_of_probed_lists(spark, emb):
     }
     probed_lists = {assigned[r.vec_id] for r in got}
     assert len(probed_lists) <= 2
+
+
+def test_bm25_topk_known_answer(spark):
+    """Hand-replicated BM25 (Lucene idf) on a 3-doc corpus."""
+    import math
+
+    from otel_arrow_adapter_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark join x"), (2, "join y z"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.bm25, r.rank) for r in
+           bm25_topk(docs, query_terms=("spark", "join"), k=10).collect()}
+    n_docs, avgdl, k1, b = 3, 11 / 3, 1.2, 0.75
+
+    def idf(df):
+        return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def term(tf, dl, df):
+        return idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = round(term(2, 4, 1) + term(1, 4, 2), 6)  # spark tf=2, join tf=1
+    want2 = round(term(1, 3, 2), 6)                  # join tf=1
+    assert got[1] == (pytest.approx(want1, abs=1e-6), 1)
+    assert got[2] == (pytest.approx(want2, abs=1e-6), 2)
+    assert 3 not in got  # no query term -> unscored
+
+
+def test_source_kl_drift_known_answer(spark):
+    """Exact KL on two strata: a uniform-matching stratum scores near 0,
+    a skewed one scores the hand-computed divergence."""
+    import math
+
+    from otel_arrow_adapter_spark.functions.text import source_kl_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "s0"), (2, "a b", "s1"),
+            (3, "a a", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.stratum: r for r in source_kl_drift(docs).collect()}
+    # corpus: a=4 b=2 (N=6); s0: a=1 b=1 (n=2); s1: a=3 b=1 (n=4)
+    def kl(dist, n):
+        return sum((c / n) * math.log((c / n) / (ca / 6)) for c, ca in dist)
+
+    assert got["s0"].n_tokens == 2
+    assert got["s0"].kl == pytest.approx(round(kl([(1, 4), (1, 2)], 2), 6), abs=1e-6)
+    assert got["s1"].n_tokens == 4
+    assert got["s1"].kl == pytest.approx(round(kl([(3, 4), (1, 2)], 4), 6), abs=1e-6)
