@@ -2242,6 +2242,40 @@ def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(d, chunk_size=32, stride=24)
 
 
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup gate (the daily-increment production
+    pattern): index = doc_id%3==0 docs; batch = the rest PLUS planted
+    exact copies of index docs (+100000), near-dups of index docs
+    (+200000, tail appended) and batch-internal copies (+300000). Each
+    batch doc classified exact_dup / batch_dup / near_dup / new —
+    fingerprint semi-join, keep-first groupBy, LSH band join vs the index
+    + shingle-Jaccard verify. Never pair-quadratic."""
+    from otel_arrow_adapter_spark.functions.dedup import incremental_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    index = d.where(F.col("doc_id") % 3 == 0)
+    batch = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .unionByName(
+            d.where(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 1)).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(batch, index, threshold=0.7)
+
+
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (Lucene idf variant) for query terms
     (spark, join, window): corpus stats and per-term idf are broadcast;
@@ -2328,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_source_kl_drift": q_doc_source_kl_drift,
     "emb_ivfpq_search": q_emb_ivfpq_search,
@@ -2357,7 +2392,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_metrics_temporality": q_pipeline_metrics_temporality,
     "pipeline_metrics_exemplars": q_pipeline_metrics_exemplars,
     "doc_clean_corpus": q_doc_clean_corpus,
-    "doc_pack_offsets": q_doc_pack_offsets,
     "doc_minhash_sig": q_doc_minhash_sig,
     # -- code changed in r5 (exp-hist offsets, pb capture idempotency) --
     "pipeline_metrics_exp_hist_scale": q_pipeline_metrics_exp_hist_scale,
@@ -2393,7 +2427,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # emb_cosine_topk), events_latency_quantiles_sketch (sketch variant of
     # gated events_latency_quantiles), doc_tfidf_terms (idf sibling of
     # gated doc_dsir_weights/doc_bm25_topk), doc_chunk_spans (zero-shuffle
-    # map-only, exact-span pytest). Rotate them to the head in r6. --
+    # map-only, exact-span pytest). doc_pack_offsets sits here too: it has
+    # an r3 driver-green row and its code/oracle are untouched since.
+    # Rotate all of them to the head in r6. --
+    "doc_pack_offsets": q_doc_pack_offsets,
     "doc_chunk_spans": q_doc_chunk_spans,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_length_histogram": q_doc_length_histogram,
@@ -4387,6 +4424,118 @@ SELECT vec_id, adc_score,
 FROM adc ORDER BY rank LIMIT 10
 """
 )
+
+# Incremental-ingestion dedup: index = doc_id%3==0; batch = rest + planted
+# exact/near/batch-internal copies. Mirrors functions/dedup.py::
+# incremental_dedup (md5 fingerprints, 8-hash/4-band minhash, k=3 shingle
+# Jaccard at 0.7, precedence exact > batch > near).
+ORACLES["doc_incremental_dedup"] = """
+WITH index_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
+  UNION ALL SELECT doc_id + 200000, text || ' near duplicate tail'
+    FROM documents WHERE doc_id % 15 = 0
+  UNION ALL SELECT doc_id + 300000, text
+    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+),
+fpb AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM batch
+),
+fpi AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM index_docs
+),
+exact AS (SELECT doc_id FROM fpb WHERE fp IN (SELECT fp FROM fpi)),
+keeper AS (SELECT fp, min(doc_id) AS kpr FROM fpb GROUP BY fp),
+bdup AS (SELECT b.doc_id FROM fpb b JOIN keeper USING (fp) WHERE b.doc_id <> kpr),
+surv AS (
+  SELECT b.doc_id, b.text FROM batch b
+  LEFT JOIN exact e USING (doc_id)
+  LEFT JOIN bdup d USING (doc_id)
+  WHERE e.doc_id IS NULL AND d.doc_id IS NULL
+),
+tb AS (
+  SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM surv
+),
+shb AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tb
+  )
+),
+ti AS (
+  SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM index_docs
+),
+shi AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM ti
+  )
+),
+sigb AS (
+  SELECT doc_id,
+    min(substr(md5('0:' || shingle), 1, 8)) AS s0, min(substr(md5('0:' || shingle), 9, 8)) AS s1,
+    min(substr(md5('0:' || shingle), 17, 8)) AS s2, min(substr(md5('0:' || shingle), 25, 8)) AS s3,
+    min(substr(md5('1:' || shingle), 1, 8)) AS s4, min(substr(md5('1:' || shingle), 9, 8)) AS s5,
+    min(substr(md5('1:' || shingle), 17, 8)) AS s6, min(substr(md5('1:' || shingle), 25, 8)) AS s7
+  FROM shb GROUP BY doc_id
+),
+sigi AS (
+  SELECT doc_id,
+    min(substr(md5('0:' || shingle), 1, 8)) AS s0, min(substr(md5('0:' || shingle), 9, 8)) AS s1,
+    min(substr(md5('0:' || shingle), 17, 8)) AS s2, min(substr(md5('0:' || shingle), 25, 8)) AS s3,
+    min(substr(md5('1:' || shingle), 1, 8)) AS s4, min(substr(md5('1:' || shingle), 9, 8)) AS s5,
+    min(substr(md5('1:' || shingle), 17, 8)) AS s6, min(substr(md5('1:' || shingle), 25, 8)) AS s7
+  FROM shi GROUP BY doc_id
+),
+bb AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', s0, s1)) AS bucket FROM sigb
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', s2, s3)) FROM sigb
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', s4, s5)) FROM sigb
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', s6, s7)) FROM sigb
+),
+bi AS (
+  SELECT doc_id AS index_doc, 0 AS band, md5(concat_ws('|', s0, s1)) AS bucket FROM sigi
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', s2, s3)) FROM sigi
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', s4, s5)) FROM sigi
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', s6, s7)) FROM sigi
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.index_doc
+  FROM bb a JOIN bi b USING (band, bucket)
+),
+szb AS (SELECT doc_id, count(*) AS n_b FROM shb GROUP BY 1),
+szi AS (SELECT doc_id AS index_doc, count(*) AS n_i FROM shi GROUP BY 1),
+common AS (
+  SELECT c.doc_id, c.index_doc, count(*) AS n_common
+  FROM shb a JOIN shi b USING (shingle)
+  JOIN cand c ON c.doc_id = a.doc_id AND c.index_doc = b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT doc_id FROM common
+  JOIN szb USING (doc_id) JOIN szi USING (index_doc)
+  WHERE round(n_common / CAST(n_b + n_i - n_common AS DOUBLE), 6) >= 0.7
+)
+SELECT b.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN d.doc_id IS NOT NULL THEN 'batch_dup'
+       WHEN n2.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS reason,
+  (e.doc_id IS NULL AND d.doc_id IS NULL AND n2.doc_id IS NULL) AS keep
+FROM batch b
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN bdup d USING (doc_id)
+LEFT JOIN near n2 USING (doc_id)
+"""
 
 # BM25 (Lucene idf variant). The SQL mirrors the Spark operation ORDER so
 # the doubles agree bit-for-bit before the round-6: (1.2 + 1.0) computed,

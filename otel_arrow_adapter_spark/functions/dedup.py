@@ -103,6 +103,31 @@ def minhash_signature(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_buckets(
+    signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, band, bucket) long form of the banded minhash signature —
+    the joinable LSH index shape (self-join for pair finding, cross-join
+    against a persisted index for incremental ingestion)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = signatures.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
+
+
 def lsh_candidates(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -112,22 +137,7 @@ def lsh_candidates(
 
     A pair is a candidate if ANY band matches (standard LSH OR-construction).
     """
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = signatures.select("doc_id", *band_cols)
-    # long form: (band_idx, bucket, doc_id)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bucket")
+    stacked = banded_buckets(signatures, num_hashes, bands)
     # materialize before the self-join: both sides reuse ONE evaluation of
     # the signature lineage instead of recomputing it (at scale: one scan,
     # not two — and Catalyst's join-key null filters would otherwise be
@@ -210,6 +220,114 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return owned_result(out, *owned)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion dedup gate: classify each document of a NEW
+    batch against an EXISTING corpus index — the daily-crawl-increment
+    production pattern (one-shot cleaning is ``doc_clean_corpus*``;
+    cross-micro-batch streaming is ``dedup_stream``). Per batch doc:
+    ``exact_dup`` (fingerprint already in the index), else ``batch_dup``
+    (an earlier doc in the SAME batch shares its fingerprint — keep-first
+    within the increment), else ``near_dup`` (LSH band candidate against
+    the index verified at shingle-Jaccard >= threshold), else ``new``.
+    Returns (doc_id, reason, keep) for every batch doc.
+
+    Scale shape at a 10^12-doc index: the index side is PRECOMPUTED state —
+    its fingerprints and band buckets live as bucketed tables
+    (sources/bucketed.py layout) appended per increment, so per-batch cost
+    is batch-sized maps plus equi-joins into those tables (semi-join on
+    fp; band-bucket equi-join; shingle verify only for candidate docs).
+    Here both sides derive inline from the given frames; nothing below is
+    pair-quadratic — the only self-comparison is the fingerprint
+    keep-first groupBy."""
+    fp_b = batch.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+    fp_i = index.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    exact = (
+        fp_b.join(fp_i, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("r_exact", F.lit(True))
+    )
+    keeper = fp_b.groupBy("fp").agg(F.min("doc_id").alias("_keeper"))
+    bdup = (
+        fp_b.join(keeper, "fp")
+        .where(F.col("doc_id") != F.col("_keeper"))
+        .select("doc_id")
+        .withColumn("r_batch", F.lit(True))
+    )
+    # near-dup vs the index — computed only for docs that SURVIVED the
+    # exact stages (classic order: exact first, near on survivors). This
+    # is also the hot-bucket guard: a text repeated 10^4 times in the
+    # increment contributes ONE survivor to the band join instead of 10^4
+    # docs sharing every band bucket and shingle. (The index side is the
+    # already-deduped corpus by construction — one doc per fingerprint.)
+    survivors = (
+        batch.join(exact.select("doc_id"), "doc_id", "left_anti")
+        .join(bdup.select("doc_id"), "doc_id", "left_anti")
+    )
+    bb = banded_buckets(minhash_signature(survivors, num_hashes, k), num_hashes, bands)
+    bi = banded_buckets(minhash_signature(index, num_hashes, k), num_hashes, bands).select(
+        F.col("doc_id").alias("index_doc"), "band", "bucket"
+    )
+    cand = bb.join(bi, ["band", "bucket"]).select("doc_id", "index_doc").distinct().persist()
+    # shingle-Jaccard verify restricted to candidate docs on BOTH sides
+    sh_b = doc_shingles(
+        survivors.join(cand.select("doc_id").distinct(), "doc_id", "left_semi"),
+        k,
+        text_col,
+    ).persist()
+    sh_i = doc_shingles(
+        index.join(
+            cand.select(F.col("index_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        ),
+        k,
+        text_col,
+    ).persist()
+    sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    sz_i = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_i")).select(
+        F.col("doc_id").alias("index_doc"), "n_i"
+    )
+    common = (
+        sh_b.join(sh_i.select(F.col("doc_id").alias("index_doc"), "shingle"), "shingle")
+        .join(cand, ["doc_id", "index_doc"], "left_semi")
+        .groupBy("doc_id", "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near = (
+        common.join(sz_b, "doc_id")
+        .join(sz_i, "index_doc")
+        .where(
+            F.round(
+                F.col("n_common") / (F.col("n_b") + F.col("n_i") - F.col("n_common")), 6
+            )
+            >= threshold
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("r_near", F.lit(True))
+    )
+    reason = (
+        F.when(F.col("r_exact"), F.lit("exact_dup"))
+        .when(F.col("r_batch"), F.lit("batch_dup"))
+        .when(F.col("r_near"), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    out = (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(bdup, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"), (reason == "new").alias("keep"))
+    )
+    return owned_result(out, cand, sh_b, sh_i)
 
 
 def dup_clusters(

@@ -1287,3 +1287,33 @@ def test_source_kl_drift_known_answer(spark):
     assert got["s0"].kl == pytest.approx(round(kl([(1, 4), (1, 2)], 2), 6), abs=1e-6)
     assert got["s1"].n_tokens == 4
     assert got["s1"].kl == pytest.approx(round(kl([(3, 4), (1, 2)], 4), 6), abs=1e-6)
+
+
+def test_incremental_dedup_classifies_all_reasons(spark):
+    """Planted batch: exact copy of an index doc, a new doc, its in-batch
+    copy (keep-first), and a near-dup of an index doc."""
+    from otel_arrow_adapter_spark.functions.dedup import incremental_dedup
+
+    index = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),       # exact vs index 0
+            (11, "unique brand new content words here"),       # new
+            (12, "unique brand new content words here"),       # batch copy of 11
+            (13, "alpha beta gamma delta epsilon zeta eta"),   # near of index 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.reason, r.keep) for r in
+           incremental_dedup(batch, index, threshold=0.7).collect()}
+    assert got[10] == ("exact_dup", False)
+    assert got[11] == ("new", True)
+    assert got[12] == ("batch_dup", False)
+    assert got[13] == ("near_dup", False)
+    assert len(got) == 4
