@@ -268,6 +268,44 @@ def ann_recall_measurement(spark, sf_dir: str) -> dict[str, float]:
         found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
         out[f"ann_recall_{name}"] = round(len(found & truth) / max(len(truth), 1), 4)
     aug.unpersist()
+
+    # PQ recall@10 over 5 fixed queries, three configurations: raw ADC on
+    # seed codebooks, ADC on Lloyd-trained codebooks, and the deployed
+    # shape (ADC shortlist-100 + exact rescore). Synthetic near-orthogonal
+    # embeddings are PQ-adversarial (razor-thin similarity margins), so
+    # these are honest lower-bound measurements, not a tautology.
+    from otel_arrow_adapter_spark.functions.similarity import (
+        cosine_topk,
+        pq_search_adc,
+        pq_search_rescored,
+        pq_train_codebooks,
+    )
+
+    e = e.persist()
+    qids = (0, 7, 21, 42, 63)
+    exact10 = {
+        q: {r.vec_id for r in cosine_topk(e, query_vec_id=q, k=10).collect()}
+        for q in qids
+    }
+
+    def _mean_recall(fn) -> float:
+        tot = sum(
+            len(exact10[q] & {r.vec_id for r in fn(q).collect()}) / 10 for q in qids
+        )
+        return round(tot / len(qids), 4)
+
+    out["ann_recall_pq_adc_at10"] = _mean_recall(
+        lambda q: pq_search_adc(e, query_vec_id=q, k=10)
+    )
+    trained = pq_train_codebooks(e, m=8, n_codes=16, iters=2, dim=64)
+    out["ann_recall_pq_adc_trained_at10"] = _mean_recall(
+        lambda q: pq_search_adc(e, query_vec_id=q, k=10, codebooks=trained)
+    )
+    trained.unpersist()
+    out["ann_recall_pq_rescored100_at10"] = _mean_recall(
+        lambda q: pq_search_rescored(e, query_vec_id=q, k=10, shortlist=100)
+    )
+    e.unpersist()
     return out
 
 

@@ -1317,3 +1317,16 @@ def test_incremental_dedup_classifies_all_reasons(spark):
     assert got[12] == ("batch_dup", False)
     assert got[13] == ("near_dup", False)
     assert len(got) == 4
+
+
+def test_pq_rescored_full_shortlist_equals_exact(spark, emb):
+    """With the shortlist covering the whole corpus, ADC winnows nothing
+    and the exact rescore must reproduce cosine_topk exactly."""
+    from otel_arrow_adapter_spark.functions.similarity import pq_search_rescored
+
+    n = emb.count()
+    got = pq_search_rescored(emb, query_vec_id=0, k=10, shortlist=n).collect()
+    want = cosine_topk(emb, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.cos_sim, r.rank) for r in got] == [
+        (r.vec_id, r.cos_sim, r.rank) for r in want
+    ]
