@@ -282,7 +282,7 @@ def ann_recall_measurement(spark, sf_dir: str) -> dict[str, float]:
     )
 
     e = e.persist()
-    qids = (0, 7, 21, 42, 63)
+    qids = (0, 7, 21, 42, 63, 101, 150, 222, 301, 404)
     exact10 = {
         q: {r.vec_id for r in cosine_topk(e, query_vec_id=q, k=10).collect()}
         for q in qids
