@@ -273,23 +273,22 @@ def incremental_dedup(
         batch.join(exact.select("doc_id"), "doc_id", "left_anti")
         .join(bdup.select("doc_id"), "doc_id", "left_anti")
     )
-    bb = banded_buckets(minhash_signature(survivors, num_hashes, k), num_hashes, bands)
-    bi = banded_buckets(minhash_signature(index, num_hashes, k), num_hashes, bands).select(
-        F.col("doc_id").alias("index_doc"), "band", "bucket"
+    # ONE shingle pass per side, shared by minhash AND the Jaccard verify
+    # (shingling is the expensive half — same sharing contract as
+    # minhash_signature's ``shingles`` parameter)
+    sh_surv = doc_shingles(survivors, k, text_col).persist()
+    sh_idx = doc_shingles(index, k, text_col).persist()
+    bb = banded_buckets(
+        minhash_signature(survivors, num_hashes, k, shingles=sh_surv), num_hashes, bands
     )
+    bi = banded_buckets(
+        minhash_signature(index, num_hashes, k, shingles=sh_idx), num_hashes, bands
+    ).select(F.col("doc_id").alias("index_doc"), "band", "bucket")
     cand = bb.join(bi, ["band", "bucket"]).select("doc_id", "index_doc").distinct().persist()
-    # shingle-Jaccard verify restricted to candidate docs on BOTH sides
-    sh_b = doc_shingles(
-        survivors.join(cand.select("doc_id").distinct(), "doc_id", "left_semi"),
-        k,
-        text_col,
-    ).persist()
-    sh_i = doc_shingles(
-        index.join(
-            cand.select(F.col("index_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
-        ),
-        k,
-        text_col,
+    # Jaccard verify restricted to candidate docs on BOTH sides
+    sh_b = sh_surv.join(cand.select("doc_id").distinct(), "doc_id", "left_semi").persist()
+    sh_i = sh_idx.join(
+        cand.select(F.col("index_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
     ).persist()
     sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
     sz_i = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_i")).select(
@@ -327,7 +326,7 @@ def incremental_dedup(
         .join(near, "doc_id", "left")
         .select("doc_id", reason.alias("reason"), (reason == "new").alias("keep"))
     )
-    return owned_result(out, cand, sh_b, sh_i)
+    return owned_result(out, cand, sh_surv, sh_idx, sh_b, sh_i)
 
 
 def dup_clusters(
