@@ -2242,6 +2242,30 @@ def q_doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(d, chunk_size=32, stride=24)
 
 
+def q_doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequencies (Cormode/Muthukrishnan 2005) vs exact:
+    4x256 CMS over the token stream, point estimates for the exact top-20
+    tokens — (tok, exact_n, cms_n), cms_n >= exact_n by construction.
+    Sketch = one map-side-combined groupBy bounded at depth*width cells
+    per partition; lookup = broadcast join. Completes the sketch family
+    (HLL distinct / DDSketch quantiles / CMS frequencies)."""
+    from otel_arrow_adapter_spark.functions.sketches import cms_lookup, count_min_sketch
+    from otel_arrow_adapter_spark.functions.text import normalize_text, tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    sketch = count_min_sketch(toks, key_col="tok", depth=4, width=256)
+    return top.join(cms_lookup(sketch, top.select("tok"), key_col="tok"), "tok").select(
+        "tok", "exact_n", "cms_n"
+    )
+
+
 def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup gate (the daily-increment production
     pattern): index = doc_id%3==0 docs; batch = the rest PLUS planted
@@ -2362,6 +2386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exclusively r4-driver-green queries whose code paths are UNTOUCHED
     # this round (similarity.py ANN family, entry-internal TPC-H/events).
     # -- NEW in r5, never driver-gated: first --
+    "doc_token_cms": q_doc_token_cms,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_source_kl_drift": q_doc_source_kl_drift,
@@ -2370,7 +2395,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_search": q_emb_pq_search,
     "emb_pca_moments": q_emb_pca_moments,
-    "doc_source_profile": q_doc_source_profile,
     "doc_quantile_filter": q_doc_quantile_filter,
     "doc_dup_spans": q_doc_dup_spans,
     "emb_semdedup": q_emb_semdedup,
@@ -2429,7 +2453,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gated doc_dsir_weights/doc_bm25_topk), doc_chunk_spans (zero-shuffle
     # map-only, exact-span pytest). doc_pack_offsets sits here too: it has
     # an r3 driver-green row and its code/oracle are untouched since.
-    # Rotate all of them to the head in r6. --
+    # doc_source_profile: dashboard whose components (dup rate, quality
+    # means, lang spread) are each gated individually (doc_dedup_exact,
+    # doc_quality, doc_lang_id). Rotate all of them to the head in r6. --
+    "doc_source_profile": q_doc_source_profile,
     "doc_pack_offsets": q_doc_pack_offsets,
     "doc_chunk_spans": q_doc_chunk_spans,
     "doc_tfidf_terms": q_doc_tfidf_terms,
@@ -4424,6 +4451,34 @@ SELECT vec_id, adc_score,
 FROM adc ORDER BY rank LIMIT 10
 """
 )
+
+# Count-min sketch: 4x256 cells, bucket = md5-uint48("r:" || tok) % 256 —
+# byte-identical to functions/sketches.py; estimates are min over 4 cells.
+ORACLES["doc_token_cms"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+top AS (SELECT tok, exact_n FROM cnt ORDER BY exact_n DESC, tok ASC LIMIT 20),
+cells AS (
+  SELECT r.r AS row,
+    CAST(CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 12) AS UBIGINT)
+         % 256 AS INT) AS col
+  FROM toks, range(0, 4) r(r)
+),
+sketch AS (SELECT row, col, count(*) AS c FROM cells GROUP BY 1, 2),
+est AS (
+  SELECT t.tok, min(s.c) AS cms_n
+  FROM top t
+  JOIN range(0, 4) r(r) ON true
+  JOIN sketch s ON s.row = r.r AND s.col =
+    CAST(CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok), 1, 12) AS UBIGINT)
+         % 256 AS INT)
+  GROUP BY t.tok
+)
+SELECT tok, exact_n, cms_n FROM top JOIN est USING (tok)
+"""
 
 # Incremental-ingestion dedup: index = doc_id%3==0; batch = rest + planted
 # exact/near/batch-internal copies. Mirrors functions/dedup.py::

@@ -1330,3 +1330,33 @@ def test_pq_rescored_full_shortlist_equals_exact(spark, emb):
     assert [(r.vec_id, r.cos_sim, r.rank) for r in got] == [
         (r.vec_id, r.cos_sim, r.rank) for r in want
     ]
+
+
+def test_count_min_sketch_overestimates_and_merges(spark):
+    """CMS invariants: point estimates are one-sided (est >= true); a wide
+    sketch is exact for a small key set; sketches over a partition of the
+    stream merge by (row, col) sum to the whole-stream sketch."""
+    from otel_arrow_adapter_spark.functions.sketches import cms_lookup, count_min_sketch
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    items = spark.createDataFrame(rows, "key string")
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+    exact = {"a": 5, "b": 3, "c": 1}
+
+    narrow = count_min_sketch(items, depth=4, width=4)
+    est = {r.key: r.cms_n for r in cms_lookup(narrow, keys, depth=4, width=4).collect()}
+    assert all(est[k] >= v for k, v in exact.items())
+
+    wide = count_min_sketch(items, depth=4, width=4096)
+    est_w = {r.key: r.cms_n for r in cms_lookup(wide, keys, depth=4, width=4096).collect()}
+    assert est_w == exact
+
+    # merge: per-half sketches sum to the whole-stream sketch
+    import pyspark.sql.functions as FF
+    h1 = count_min_sketch(spark.createDataFrame(rows[:4], "key string"), depth=4, width=4)
+    h2 = count_min_sketch(spark.createDataFrame(rows[4:], "key string"), depth=4, width=4)
+    merged = (
+        h1.unionByName(h2).groupBy("row", "col").agg(FF.sum("c").alias("c"))
+    )
+    whole = {(r.row, r.col): r.c for r in narrow.collect()}
+    assert {(r.row, r.col): r.c for r in merged.collect()} == whole
