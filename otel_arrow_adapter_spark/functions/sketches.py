@@ -47,7 +47,8 @@ def count_min_sketch(
         ]
     )
     return (
-        items.select(F.explode(cells).alias("e"))
+        items.where(F.col(key_col).isNotNull())  # null keys are untracked
+        .select(F.explode(cells).alias("e"))
         .groupBy(F.col("e.row").alias("row"), F.col("e.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -73,7 +74,9 @@ def cms_lookup(
             for r in range(depth)
         ]
     )
-    probed = keys.select(key_col, F.explode(cells).alias("e")).select(
+    probed = keys.where(F.col(key_col).isNotNull()).select(
+        key_col, F.explode(cells).alias("e")
+    ).select(
         key_col, F.col("e.row").alias("row"), F.col("e.col").alias("col")
     )
     return (

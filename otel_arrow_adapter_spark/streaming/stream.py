@@ -417,3 +417,26 @@ def session_windowed_activity(
             "n_sinks",
         )
     )
+
+
+def cms_stream_sink(acc: dict, key_col: str = "tool", depth: int = 4, width: int = 256):
+    """Streaming heavy-hitter monitor: a ``foreachBatch`` callable that
+    builds a count-min sketch (functions/sketches.py) over each
+    micro-batch's ``key_col`` and MERGES it into ``acc`` ((row, col) ->
+    count) by plain addition — the CMS merge law means the accumulated
+    sketch is exactly the one a single batch pass over the whole stream
+    would build (pytest-asserted). Driver state is O(depth*width)
+    regardless of stream length or key cardinality; the per-batch
+    collect moves at most depth*width rows — control-plane, the same
+    discipline as the ledger and dict_stream_stats_sink."""
+    from ..functions.sketches import count_min_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = count_min_sketch(
+            batch_df.select(key_col), key_col=key_col, depth=depth, width=width
+        ).collect()
+        for r in rows:
+            key = (r["row"], r["col"])
+            acc[key] = acc.get(key, 0) + r["c"]
+
+    return sink

@@ -401,3 +401,39 @@ def test_stream_late_data_dropped_beyond_watermark(spark, tmp_path):
     w10 = dt.datetime(2025, 1, 1, 10, 0)
     assert by_window[w00] == 1, "late row behind the watermark must be dropped"
     assert by_window[w10] == 2, "in-watermark row must be aggregated"
+
+
+def test_stream_cms_merges_to_batch_sketch(spark, transcripts, tmp_path):
+    """The accumulated per-micro-batch CMS must equal the whole-input
+    batch sketch cell-for-cell (the merge law, live), and its point
+    estimates must upper-bound exact counts."""
+    from otel_arrow_adapter_spark.functions.sketches import count_min_sketch
+    from otel_arrow_adapter_spark.streaming.stream import cms_stream_sink
+
+    src = str(tmp_path / "cms_src")
+    transcripts.repartition(4).write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files=1)
+    acc = {}
+    q = (
+        stream.writeStream.foreachBatch(cms_stream_sink(acc, key_col="tool"))
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    whole = {
+        (r.row, r.col): r.c
+        for r in count_min_sketch(transcripts.select("tool"), key_col="tool").collect()
+    }
+    assert acc == whole
+    exact = {
+        r.tool: r.n
+        for r in transcripts.where(F.col("tool").isNotNull())
+        .groupBy("tool").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from otel_arrow_adapter_spark.functions.sketches import cms_lookup
+    sketch = count_min_sketch(transcripts.select("tool"), key_col="tool")
+    keys = transcripts.select("tool").distinct()
+    est = {r.tool: r.cms_n for r in cms_lookup(sketch, keys, key_col="tool").collect()}
+    assert all(est[t] >= n for t, n in exact.items())
