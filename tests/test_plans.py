@@ -290,3 +290,45 @@ def test_conv_quality_single_conv_id_exchange(spark):
     plan = _plan(conv_quality(turns))
     exchanges = [line for line in plan.splitlines() if "Exchange" in line]
     assert len(exchanges) == 1 and "conv_id" in exchanges[0], plan
+
+
+def test_pq_search_plan_broadcasts_lut_and_takes_ordered(spark):
+    """ADC search: the LUT and codebook joins must broadcast (never
+    shuffle the codes side) and the top-k must compile to
+    TakeOrderedAndProject, not a global sort."""
+    from otel_arrow_adapter_spark.functions.similarity import pq_search_adc
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(pq_search_adc(e, query_vec_id=0, k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_filters_tokens_before_joins(spark):
+    """The query-term isin filter must sit below the tf aggregation (the
+    post-stats work is query-sized), and idf/stats joins broadcast."""
+    from otel_arrow_adapter_spark.functions.text import bm25_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(d, query_terms=("spark", "join"), k=10))
+    import re
+
+    assert re.search(r"tok#\d+ IN \(spark,join\)", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """The ingestion gate must never produce a cartesian/nested-loop pair
+    scan — band buckets and fingerprints drive every comparison."""
+    from otel_arrow_adapter_spark.functions.dedup import incremental_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = incremental_dedup(
+        d.where(F.col("doc_id") % 3 != 0), d.where(F.col("doc_id") % 3 == 0)
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.unpersist()
