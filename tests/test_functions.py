@@ -1360,3 +1360,100 @@ def test_count_min_sketch_overestimates_and_merges(spark):
     )
     whole = {(r.row, r.col): r.c for r in narrow.collect()}
     assert {(r.row, r.col): r.c for r in merged.collect()} == whole
+
+
+def test_cms_property_overestimate_and_merge(spark):
+    """Hypothesis: for arbitrary key multisets and any split point, (a)
+    every point estimate upper-bounds the true count, (b) the two split
+    halves' sketches merge cell-for-cell to the whole-stream sketch."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from otel_arrow_adapter_spark.functions.sketches import cms_lookup, count_min_sketch
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=60),
+        st.integers(min_value=0, max_value=60),
+    )
+    def check(keys, cut):
+        cut = min(cut, len(keys))
+        items = spark.createDataFrame([(k,) for k in keys], "key string")
+        sk = count_min_sketch(items, depth=3, width=8)
+        uniq = spark.createDataFrame([(k,) for k in set(keys)], "key string")
+        est = {r.key: r.cms_n for r in cms_lookup(sk, uniq, depth=3, width=8).collect()}
+        from collections import Counter
+
+        exact = Counter(keys)
+        assert all(est[k] >= n for k, n in exact.items())
+        if 0 < cut < len(keys):
+            h1 = count_min_sketch(
+                spark.createDataFrame([(k,) for k in keys[:cut]], "key string"),
+                depth=3, width=8,
+            )
+            h2 = count_min_sketch(
+                spark.createDataFrame([(k,) for k in keys[cut:]], "key string"),
+                depth=3, width=8,
+            )
+            merged = {}
+            for r in h1.collect() + h2.collect():
+                merged[(r.row, r.col)] = merged.get((r.row, r.col), 0) + r.c
+            whole = {(r.row, r.col): r.c for r in sk.collect()}
+            assert merged == whole
+
+    check()
+
+
+def test_incremental_dedup_property_partition_and_precedence(spark):
+    """Hypothesis: for arbitrary small corpora, (a) every batch doc gets
+    exactly one reason, (b) keep == (reason == new), (c) any batch doc
+    whose text appears in the index is never kept, (d) within a batch
+    fingerprint group at most one doc is kept."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from otel_arrow_adapter_spark.functions.dedup import incremental_dedup
+
+    texts = st.sampled_from(
+        ["alpha beta gamma one", "delta epsilon zeta two", "eta theta iota three"]
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(texts, min_size=1, max_size=6),
+        st.lists(texts, min_size=0, max_size=4),
+    )
+    def check(batch_texts, index_texts):
+        batch = spark.createDataFrame(
+            list(enumerate(batch_texts)), "doc_id long, text string"
+        )
+        index = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(index_texts)],
+            "doc_id long, text string",
+        )
+        rows = incremental_dedup(batch, index).collect()
+        assert len(rows) == len(batch_texts)
+        by_id = {r.doc_id: r for r in rows}
+        idx_set = set(index_texts)
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for i, t in enumerate(batch_texts):
+            groups[t].append(i)
+        for i, t in enumerate(batch_texts):
+            r = by_id[i]
+            assert r.keep == (r.reason == "new")
+            if t in idx_set:
+                assert r.reason in ("exact_dup", "batch_dup") and not r.keep
+        for t, ids in groups.items():
+            assert sum(1 for i in ids if by_id[i].keep) <= 1
+
+    check()
