@@ -1457,3 +1457,102 @@ def test_incremental_dedup_property_partition_and_precedence(spark):
             assert sum(1 for i in ids if by_id[i].keep) <= 1
 
     check()
+
+
+def test_bigram_logprob_differential_vs_python(spark):
+    """Differential test: Stupid Backoff scores over random corpora must
+    match a sequential pure-Python reference exactly (round-6)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from otel_arrow_adapter_spark.functions.text import bigram_logprob
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=5), st.lists(doc, min_size=1, max_size=5))
+    def check(score_texts, lm_texts):
+        lm = spark.createDataFrame(list(enumerate(lm_texts)), "doc_id long, text string")
+        sc = spark.createDataFrame(list(enumerate(score_texts)), "doc_id long, text string")
+        got = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+               for r in bigram_logprob(sc, lm_docs=lm).collect()}
+
+        uni = Counter(t for d in lm_texts for t in d.split())
+        n_total = sum(uni.values())
+        bi = Counter(
+            (ts[i], ts[i + 1])
+            for d in lm_texts
+            for ts in [d.split()]
+            for i in range(len(ts) - 1)
+        )
+        for i, d in enumerate(score_texts):
+            ts = d.split()
+            if len(ts) < 2:
+                assert i not in got
+                continue
+            scores = []
+            for a, b in zip(ts, ts[1:]):
+                if (a, b) in bi:
+                    scores.append(math.log(bi[(a, b)] / uni[a]))
+                elif b in uni:
+                    scores.append(math.log(0.4 * uni[b] / n_total))
+                else:
+                    scores.append(-20.0)
+            assert got[i][0] == len(scores)
+            assert got[i][1] == pytest.approx(round(sum(scores) / len(scores), 6), abs=1e-6)
+
+    check()
+
+
+def test_bm25_differential_vs_python(spark):
+    """Differential test: BM25 scores over random corpora must match a
+    pure-Python reference (Lucene idf variant, k1=1.2, b=0.75)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from otel_arrow_adapter_spark.functions.text import bm25_topk
+
+    word = st.sampled_from(["qq", "ww", "ee", "rr"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        got = {r.doc_id: r.bm25 for r in bm25_topk(docs, query_terms=("qq", "ww"), k=50).collect()}
+
+        n_docs = len(texts)
+        dls = [len(t.split()) for t in texts]
+        avgdl = sum(dls) / n_docs
+        df = {q: sum(1 for t in texts if q in t.split()) for q in ("qq", "ww")}
+        want = {}
+        for i, t in enumerate(texts):
+            ts = t.split()
+            s = 0.0
+            for q in ("qq", "ww"):
+                tf = ts.count(q)
+                if tf == 0 or df[q] == 0:
+                    continue
+                idf = math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+            if s != 0.0 or any(q in ts for q in ("qq", "ww")):
+                want[i] = round(s, 6)
+        assert set(got) == set(want)
+        for i, v in want.items():
+            assert got[i] == pytest.approx(v, abs=1e-6)
+
+    check()
