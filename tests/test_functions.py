@@ -1556,3 +1556,21 @@ def test_bm25_differential_vs_python(spark):
             assert got[i] == pytest.approx(v, abs=1e-6)
 
     check()
+
+
+def test_hll_sketch_union_merge_law(spark, docs):
+    """Spark-native HLL sketches (Datasketches) complete the mergeable-
+    sketch story alongside CMS and the exp-hist quantile sketch: per-lang
+    partial sketches hll_union_agg to EXACTLY the whole-corpus sketch's
+    estimate (same algorithm, deterministic), and estimates stay within
+    the configured relative error of the exact distinct count."""
+    whole = docs.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id", F.lit(14))).alias("est")
+    ).collect()[0].est
+    per_lang = docs.groupBy("lang").agg(F.hll_sketch_agg("doc_id", F.lit(14)).alias("sk"))
+    merged = per_lang.select(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est")
+    ).collect()[0].est
+    assert merged == whole
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(whole - exact) / exact < 0.05
