@@ -1574,3 +1574,58 @@ def test_hll_sketch_union_merge_law(spark, docs):
     assert merged == whole
     exact = docs.select("doc_id").distinct().count()
     assert abs(whole - exact) / exact < 0.05
+
+
+def test_incremental_dedup_two_increments_compose(spark):
+    """The production loop closes: batch-1 keeps append to the index, and
+    a batch-2 copy of a batch-1 keep then classifies exact_dup — dedup
+    state accumulates across increments exactly like the streaming form,
+    but through plain index-table appends."""
+    from otel_arrow_adapter_spark.functions.dedup import incremental_dedup
+
+    index0 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "one two three four"), (11, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    r1 = {r.doc_id: r for r in incremental_dedup(batch1, index0).collect()}
+    assert r1[10].keep and not r1[11].keep
+    # append batch-1 keeps to the index state
+    keeps = [i for i, r in r1.items() if r.keep]
+    index1 = index0.unionByName(
+        batch1.where(F.col("doc_id").isin(keeps))
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "one two three four"), (21, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    r2 = {r.doc_id: r for r in incremental_dedup(batch2, index1).collect()}
+    assert r2[20].reason == "exact_dup" and not r2[20].keep
+    assert r2[21].reason == "new" and r2[21].keep
+
+
+def test_ivfpq_trained_end_to_end(spark, emb):
+    """Both trained paths composed: kmeans_train centroids for the coarse
+    probe and pq_train_codebooks for ADC — returns k ranked rows whose
+    members all come from probed lists (the full trained IVFADC)."""
+    from otel_arrow_adapter_spark.functions.similarity import (
+        assign_to_centroids,
+        ivfpq_search,
+        kmeans_train,
+        pq_train_codebooks,
+    )
+
+    cents = kmeans_train(emb, n_centroids=5, iters=2)
+    cbs = pq_train_codebooks(emb, m=8, n_codes=8, iters=1, dim=64)
+    got = ivfpq_search(
+        emb, query_vec_id=0, k=10, n_centroids=5, n_probe=2,
+        m=8, n_codes=8, dim=64, centroids=cents, codebooks=cbs,
+    ).collect()
+    assert len(got) == 10
+    assert [r.rank for r in got] == list(range(1, 11))
+    assigned = {r.vec_id: r.centroid_id for r in assign_to_centroids(emb, cents).collect()}
+    assert len({assigned[r.vec_id] for r in got}) <= 2
+    cents.unpersist()
+    cbs.unpersist()
