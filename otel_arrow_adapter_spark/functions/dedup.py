@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import free_local_checkpoint as _free_local_checkpoint
+from ..caching import is_materialized as _is_materialized
 from ..caching import owned_result
 from .text import fingerprint, shingles
 
@@ -184,7 +185,7 @@ def jaccard_pairs(
     sh = doc_shingles(docs, k) if shingles is None else shingles
     sh_owned = shingles is None
     if candidates is not None:
-        if not (candidates.storageLevel.useMemory or candidates.storageLevel.useDisk):
+        if not _is_materialized(candidates):
             candidates = candidates.persist()  # used 2x: doc-id set + pair filter
             owned.append(candidates)
         cand_docs = (

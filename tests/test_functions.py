@@ -208,7 +208,9 @@ def test_jaccard_candidates_bound_the_join(spark, docs_with_dups):
     sig = minhash_signature(docs_with_dups, num_hashes=8)
     cand = lsh_candidates(sig, num_hashes=8, bands=4)
     out = jaccard_pairs(docs_with_dups, threshold=0.5, candidates=cand)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # owned_result truncates the returned frame's lineage to a LogicalRDD;
+    # the plan gate inspects the un-truncated producing plan it exposes
+    plan = out.pre_checkpoint._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()}
     unbounded = {

@@ -328,7 +328,9 @@ def test_incremental_dedup_no_cartesian(spark):
     out = incremental_dedup(
         d.where(F.col("doc_id") % 3 != 0), d.where(F.col("doc_id") % 3 == 0)
     )
-    plan = _plan(out)
+    # inspect the un-truncated producing plan (owned_result returns a
+    # lineage-truncated frame whose own plan is a flat LogicalRDD)
+    plan = _plan(out.pre_checkpoint)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     out.unpersist()
