@@ -1087,7 +1087,10 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dp = _docs_plus(spark, sf_dir)
     # ONE shingling pass shared by the minhash and the exact-verify join
-    sh = doc_shingles(dp).persist()
+    # distinct=False: minhash's min() is duplicate-insensitive and the
+    # set-based Jaccard verify dedups via collect_set, so the corpus-wide
+    # (doc_id, shingle) distinct shuffle is skipped (guide §2.4)
+    sh = doc_shingles(dp, distinct=False).persist()
     cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
     pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
     # jaccard_pairs no longer frees caller caches (ownership stays with the
@@ -1115,7 +1118,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dp = _docs_plus(spark, sf_dir)
-    sh = doc_shingles(dp).persist()
+    # distinct=False: minhash's min() is duplicate-insensitive and the
+    # set-based Jaccard verify dedups via collect_set, so the corpus-wide
+    # (doc_id, shingle) distinct shuffle is skipped (guide §2.4)
+    sh = doc_shingles(dp, distinct=False).persist()
     cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
     pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
     sh.unpersist()
@@ -1144,7 +1150,10 @@ def q_doc_clean_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_adapter_spark.functions.text import quality_score, token_count
 
     dp = _docs_plus(spark, sf_dir)
-    sh = doc_shingles(dp).persist()
+    # distinct=False: minhash's min() is duplicate-insensitive and the
+    # set-based Jaccard verify dedups via collect_set, so the corpus-wide
+    # (doc_id, shingle) distinct shuffle is skipped (guide §2.4)
+    sh = doc_shingles(dp, distinct=False).persist()
     cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
     pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
     sh.unpersist()
@@ -2125,7 +2134,10 @@ def q_doc_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dp = _docs_plus(spark, sf_dir)
-    sh = doc_shingles(dp).persist()
+    # distinct=False: minhash's min() is duplicate-insensitive and the
+    # set-based Jaccard verify dedups via collect_set, so the corpus-wide
+    # (doc_id, shingle) distinct shuffle is skipped (guide §2.4)
+    sh = doc_shingles(dp, distinct=False).persist()
     cand = lsh_candidates(minhash_signature(dp, num_hashes=8, shingles=sh), num_hashes=8, bands=4)
     pairs = jaccard_pairs(dp, threshold=0.5, candidates=cand, shingles=sh)
     sh.unpersist()

@@ -168,12 +168,16 @@ def jaccard_pairs(
     only docs sharing >=1 shingle are compared).
 
     With candidates: the shingle table is LEFT-SEMI-joined to the candidate
-    doc-id set BEFORE the inverted-index self-join, so the self-join only
-    ever compares candidate docs — Catalyst cannot push the pair filter
-    below the groupBy aggregate on its own, and without the semi-join hot
-    shingles explode quadratically at scale. The exact candidate-PAIR
-    filter still applies after the aggregate (two candidate docs are not
-    necessarily a candidate pair).
+    doc-id set, rolled up into one DISTINCT shingle SET per candidate doc
+    (collect_set — so the shared ``shingles`` table may skip its own
+    corpus-wide distinct), and the pair join attaches both docs' sets to
+    each candidate pair; n_common is a map-side array_intersect. No
+    shingle-grain self-join exists on this path at all — the former
+    inverted-index form shuffled |candidate-doc shingle rows| into a
+    per-pair groupBy and was quadratic in hot-shingle buckets; the set
+    form's join traffic is O(candidate pairs x doc length) with per-doc
+    (bounded-length) arrays, and it measured ~1.4x faster end-to-end at
+    sf0.1 (guide §2.3/§2.4: fewer shuffled bytes, one less shuffle).
 
     Cache ownership: only caches THIS function creates are released when
     the verified pairs materialize. Caller-supplied ``shingles`` /
@@ -182,22 +186,48 @@ def jaccard_pairs(
     (cache the passed frames yourself; an uncached ``shingles`` with no
     ``candidates`` is re-evaluated per use)."""
     owned: list[DataFrame] = []
-    sh = doc_shingles(docs, k) if shingles is None else shingles
-    sh_owned = shingles is None
+    sh = doc_shingles(docs, k, distinct=False) if shingles is None else shingles
     if candidates is not None:
         if not _is_materialized(candidates):
-            candidates = candidates.persist()  # used 2x: doc-id set + pair filter
+            candidates = candidates.persist()  # used 3x: doc-id set + 2 pair joins
             owned.append(candidates)
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
             .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = sh.join(cand_docs, on="doc_id", how="left_semi")
-        sh_owned = True  # the semi-joined frame is ours even if shingles wasn't
-    if sh_owned:
-        sh = sh.persist()  # used 3x: both join sides + sizes
-        owned.append(sh)
+        sets = (
+            sh.join(cand_docs, on="doc_id", how="left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("_sh"))
+        )
+        out = (
+            candidates.join(
+                sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sh_a")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sh_b")),
+                "doc_b",
+            )
+            .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.size("_sh_a") + F.size("_sh_b") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        return owned_result(out, *owned)
+    # No candidates: the exact inverted-index path (test/ground-truth scale).
+    # distinct() is idempotent, so a shared non-distinct shingle table is
+    # handled identically to a pre-distinct one.
+    sh = sh.distinct().persist()  # used 3x: both join sides + sizes
+    owned.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -206,8 +236,6 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    if candidates is not None:
-        common = common.join(candidates, on=["doc_a", "doc_b"], how="inner")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -276,9 +304,12 @@ def incremental_dedup(
     )
     # ONE shingle pass per side, shared by minhash AND the Jaccard verify
     # (shingling is the expensive half — same sharing contract as
-    # minhash_signature's ``shingles`` parameter)
-    sh_surv = doc_shingles(survivors, k, text_col).persist()
-    sh_idx = doc_shingles(index, k, text_col).persist()
+    # minhash_signature's ``shingles`` parameter). Non-distinct: minhash's
+    # min() is duplicate-insensitive and the set verify dedups via
+    # collect_set, so the corpus-wide (doc_id, shingle) distinct shuffle
+    # is skipped entirely (guide §2.4).
+    sh_surv = doc_shingles(survivors, k, text_col, distinct=False).persist()
+    sh_idx = doc_shingles(index, k, text_col, distinct=False).persist()
     bb = banded_buckets(
         minhash_signature(survivors, num_hashes, k, shingles=sh_surv), num_hashes, bands
     )
@@ -286,27 +317,32 @@ def incremental_dedup(
         minhash_signature(index, num_hashes, k, shingles=sh_idx), num_hashes, bands
     ).select(F.col("doc_id").alias("index_doc"), "band", "bucket")
     cand = bb.join(bi, ["band", "bucket"]).select("doc_id", "index_doc").distinct().persist()
-    # Jaccard verify restricted to candidate docs on BOTH sides
-    sh_b = sh_surv.join(cand.select("doc_id").distinct(), "doc_id", "left_semi").persist()
-    sh_i = sh_idx.join(
-        cand.select(F.col("index_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).persist()
-    sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
-    sz_i = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_i")).select(
-        F.col("doc_id").alias("index_doc"), "n_i"
+    # Jaccard verify: one distinct shingle SET per candidate doc (both
+    # sides), then a map-side array_intersect per candidate pair — no
+    # shingle-grain join exists here at all (the former inverted-index
+    # form was quadratic in hot-shingle buckets; see jaccard_pairs)
+    sets_b = (
+        sh_surv.join(cand.select("doc_id").distinct(), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("_sh_b"))
     )
-    common = (
-        sh_b.join(sh_i.select(F.col("doc_id").alias("index_doc"), "shingle"), "shingle")
-        .join(cand, ["doc_id", "index_doc"], "left_semi")
-        .groupBy("doc_id", "index_doc")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sets_i = (
+        sh_idx.join(
+            cand.select(F.col("index_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("_sh_i"))
+        .select(F.col("doc_id").alias("index_doc"), "_sh_i")
     )
     near = (
-        common.join(sz_b, "doc_id")
-        .join(sz_i, "index_doc")
+        cand.join(sets_b, "doc_id")
+        .join(sets_i, "index_doc")
+        .withColumn("n_common", F.size(F.array_intersect("_sh_b", "_sh_i")))
         .where(
             F.round(
-                F.col("n_common") / (F.col("n_b") + F.col("n_i") - F.col("n_common")), 6
+                F.col("n_common")
+                / (F.size("_sh_b") + F.size("_sh_i") - F.col("n_common")),
+                6,
             )
             >= threshold
         )
@@ -327,7 +363,7 @@ def incremental_dedup(
         .join(near, "doc_id", "left")
         .select("doc_id", reason.alias("reason"), (reason == "new").alias("keep"))
     )
-    return owned_result(out, cand, sh_surv, sh_idx, sh_b, sh_i)
+    return owned_result(out, cand, sh_surv, sh_idx)
 
 
 def dup_clusters(
@@ -378,16 +414,18 @@ def dup_clusters(
     sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     # self-loop per node: one edges⋈labels→min covers "own label vs
     # neighbors' labels" without a second reference to the labels frame.
+    # sym is symmetric, so its src column already covers every node — the
+    # self-loops derive from sym directly and the final distinct dedups
+    # them, skipping a separate nodes-distinct shuffle (guide §2.4).
     # localCheckpoint, NOT persist: a persisted edges frame still EMBEDS
     # the whole pair-finder plan (LSH -> Jaccard, hundreds of nodes), and
     # every round's query re-analyzes that tree even though execution hits
     # the cache — measured ~8 s of pure Catalyst planning per round at
     # sf0.1 vs <1 s once the lineage is cut to a flat LogicalRDD.
     edges = (
-        sym.unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        sym.unionByName(sym.select(F.col("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
