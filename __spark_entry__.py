@@ -608,8 +608,16 @@ def q_pipeline_metrics_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataF
         pts.where(F.col("turn_idx") % 2 == 1), max_buckets=18,
         value_col="value_delta", scale=0,
     )
-    merged = merge_exp_histograms(fine.unionByName(coarse))
-    return merged.select(
+    # merge references its input 4x (min-scale dim, scalars, both bucket
+    # families); checkpoint the tiny per-key rollup union (rows = key
+    # groups x sources) so each reference reads a flat 4-row RDD instead
+    # of re-planning the scan->parse->rollup lineage — the before plan
+    # repeated the parquet scan 24x (plans/r06/*_before.txt)
+    from otel_arrow_adapter_spark.caching import owned_result
+
+    both = fine.unionByName(coarse).localCheckpoint(eager=True)
+    merged = merge_exp_histograms(both)
+    out = merged.select(
         "metric_name",
         "metric_unit",
         "count",
@@ -623,6 +631,7 @@ def q_pipeline_metrics_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataF
         "min",
         "max",
     )
+    return owned_result(out, both)
 
 
 def q_pipeline_metrics_temporality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,7 +699,10 @@ def q_pipeline_metrics_dp_records(spark: SparkSession, sf_dir: str) -> DataFrame
     # branch a local explode+agg
     from otel_arrow_adapter_spark.caching import owned_result
 
-    nested = synthesize_metrics_nested(spark, n_metrics=300).persist()
+    # localCheckpoint, not persist: the 9 count branches each re-analyze
+    # nested's plan per action; a flat LogicalRDD makes every branch's
+    # analysis constant-size (measured 6.1s -> 2.7s for this query)
+    nested = synthesize_metrics_nested(spark, n_metrics=300).localCheckpoint(eager=True)
     records = encode_metrics(nested)
     parts = [
         df.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("record"), "n_rows")
@@ -755,7 +767,8 @@ def q_pipeline_trace_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from otel_arrow_adapter_spark.caching import owned_result
 
-    nested = synthesize_traces_nested(spark, n_spans=300).persist()
+    # localCheckpoint, not persist — same rationale as metrics_dp_records
+    nested = synthesize_traces_nested(spark, n_spans=300).localCheckpoint(eager=True)
     records = encode_traces(nested)
     parts = [
         df.agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("record"), "n_rows")

@@ -57,7 +57,8 @@ def owned_result(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     (rebound here to free the checkpoint RDD)."""
     out = result.localCheckpoint(eager=True)
     for df in intermediates:
-        df.unpersist()
+        df.unpersist()  # Dataset-level cache, if any
+        free_local_checkpoint(df)  # RDD-level checkpoint storage, if any
 
     def _unpersist(blocking: bool = False) -> DataFrame:
         free_local_checkpoint(out, blocking)
