@@ -308,15 +308,22 @@ def incremental_dedup(
     # min() is duplicate-insensitive and the set verify dedups via
     # collect_set, so the corpus-wide (doc_id, shingle) distinct shuffle
     # is skipped entirely (guide §2.4).
-    sh_surv = doc_shingles(survivors, k, text_col, distinct=False).persist()
-    sh_idx = doc_shingles(index, k, text_col, distinct=False).persist()
+    # localCheckpoint (eager), not persist: each is consumed by several
+    # downstream materializations whose plans would otherwise re-analyze
+    # the whole upstream per action (see caching.owned_result); the
+    # truncated frames keep every later analysis constant-size
+    sh_surv = doc_shingles(survivors, k, text_col, distinct=False).localCheckpoint(eager=True)
+    sh_idx = doc_shingles(index, k, text_col, distinct=False).localCheckpoint(eager=True)
     bb = banded_buckets(
         minhash_signature(survivors, num_hashes, k, shingles=sh_surv), num_hashes, bands
     )
     bi = banded_buckets(
         minhash_signature(index, num_hashes, k, shingles=sh_idx), num_hashes, bands
     ).select(F.col("doc_id").alias("index_doc"), "band", "bucket")
-    cand = bb.join(bi, ["band", "bucket"]).select("doc_id", "index_doc").distinct().persist()
+    cand = (
+        bb.join(bi, ["band", "bucket"]).select("doc_id", "index_doc").distinct()
+        .localCheckpoint(eager=True)
+    )
     # Jaccard verify: one distinct shingle SET per candidate doc (both
     # sides), then a map-side array_intersect per candidate pair — no
     # shingle-grain join exists here at all (the former inverted-index
