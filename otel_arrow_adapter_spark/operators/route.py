@@ -331,6 +331,17 @@ def write_routed(
         if c in slim.columns:
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
             writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        else:
+            # a typo'd name or a column removed upstream (suppress_text /
+            # _DERIVED drop) must not lose its requested filter silently
+            # (ADVICE r5)
+            import warnings
+
+            warnings.warn(
+                f"write_routed: bloom_cols entry {c!r} is not in the written "
+                f"schema {sorted(slim.columns)} — no bloom filter written",
+                stacklevel=2,
+            )
     (
         writer.partitionBy(*extra_partition_cols, "sink")
         .parquet(f"{out_dir}/{subdir}")

@@ -428,15 +428,29 @@ def cms_stream_sink(acc: dict, key_col: str = "tool", depth: int = 4, width: int
     would build (pytest-asserted). Driver state is O(depth*width)
     regardless of stream length or key cardinality; the per-batch
     collect moves at most depth*width rows — control-plane, the same
-    discipline as the ledger and dict_stream_stats_sink."""
+    discipline as the ledger and dict_stream_stats_sink.
+
+    foreachBatch is at-least-once: a recovered/retried micro-batch is
+    re-delivered WITH THE SAME batch_id, so already-merged ids are
+    skipped (closure-local ``done`` set, keeping ``acc`` purely
+    (row, col) -> count) — without the guard a replayed batch would be
+    double-counted and the merge-law equality above would silently
+    break (ADVICE r5)."""
     from ..functions.sketches import count_min_sketch
 
+    done: set[int] = set()
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in done:
+            return
         rows = count_min_sketch(
             batch_df.select(key_col), key_col=key_col, depth=depth, width=width
         ).collect()
         for r in rows:
             key = (r["row"], r["col"])
             acc[key] = acc.get(key, 0) + r["c"]
+        done.add(batch_id)
 
     return sink
+
+

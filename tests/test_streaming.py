@@ -437,3 +437,20 @@ def test_stream_cms_merges_to_batch_sketch(spark, transcripts, tmp_path):
     keys = transcripts.select("tool").distinct()
     est = {r.tool: r.cms_n for r in cms_lookup(sketch, keys, key_col="tool").collect()}
     assert all(est[t] >= n for t, n in exact.items())
+
+
+def test_stream_cms_sink_idempotent_on_replayed_batch(spark, transcripts):
+    """foreachBatch is at-least-once: re-delivering the SAME batch_id must
+    not double-merge (ADVICE r5) while distinct ids still accumulate."""
+    from otel_arrow_adapter_spark.streaming.stream import cms_stream_sink
+
+    acc = {}
+    sink = cms_stream_sink(acc, key_col="tool")
+    batch = transcripts.select("tool")
+    sink(batch, 0)
+    once = dict(acc)
+    assert once  # sketch cells were merged
+    sink(batch, 0)  # replay of the same micro-batch
+    assert acc == once
+    sink(batch, 1)  # a genuinely new batch still merges
+    assert acc == {k: 2 * v for k, v in once.items()}
