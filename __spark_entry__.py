@@ -593,29 +593,29 @@ def q_pipeline_metrics_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataF
     boundaries are a subset of fine ones), so the whole merge path is
     value-checked, not just row-counted."""
     from otel_arrow_adapter_spark.operators.metrics_dp import (
-        exp_histogram_rollup,
+        exp_histogram_rollup_pair,
         merge_exp_histograms,
     )
 
     pts = _metric_points(spark, sf_dir).withColumn(
         "value_delta", F.col("metric_value") - F.lit(1000)
     )
-    fine = exp_histogram_rollup(
-        pts.where(F.col("turn_idx") % 2 == 0), max_buckets=36,
-        value_col="value_delta", scale=1,
-    )
-    coarse = exp_histogram_rollup(
-        pts.where(F.col("turn_idx") % 2 == 1), max_buckets=18,
-        value_col="value_delta", scale=0,
-    )
-    # merge references its input 4x (min-scale dim, scalars, both bucket
-    # families); checkpoint the tiny per-key rollup union (rows = key
-    # groups x sources) so each reference reads a flat 4-row RDD instead
-    # of re-planning the scan->parse->rollup lineage — the before plan
-    # repeated the parquet scan 24x (plans/r06/*_before.txt)
+    # one gated pass builds BOTH scale families (the two separate rollups
+    # were two full scans of the fact); merge references its input 4x
+    # (min-scale dim, scalars, both bucket families) so the tiny per-key
+    # union comes back eagerly checkpointed — each reference reads a flat
+    # 4-row RDD instead of re-planning the scan->parse->rollup lineage
+    # (the round-start plan repeated the parquet scan 24x,
+    # plans/r06/*_before.txt)
     from otel_arrow_adapter_spark.caching import owned_result
 
-    both = fine.unionByName(coarse).localCheckpoint(eager=True)
+    both = exp_histogram_rollup_pair(
+        pts,
+        F.col("turn_idx") % 2 == 0,
+        (36, 1),
+        (18, 0),
+        value_col="value_delta",
+    )
     merged = merge_exp_histograms(both)
     out = merged.select(
         "metric_name",

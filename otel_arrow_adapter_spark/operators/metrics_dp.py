@@ -499,6 +499,85 @@ def exp_histogram_rollup(
     )
 
 
+def exp_histogram_rollup_pair(
+    points: DataFrame,
+    gate: Column,
+    true_spec: tuple[int, int],
+    false_spec: tuple[int, int],
+    value_col: str = "metric_value",
+    keys: tuple[str, ...] = ("metric_name", "metric_unit"),
+) -> DataFrame:
+    """One-pass fusion of two ``exp_histogram_rollup`` calls over a boolean
+    partition of ``points``: rows where ``gate`` holds roll up with
+    ``true_spec = (max_buckets, scale)``, the rest with ``false_spec`` —
+    exactly ``rollup(points.where(gate), *true_spec).unionByName(
+    rollup(points.where(~gate), *false_spec))`` but with ONE scan of the
+    fact instead of two. The collector fan-in shape
+    ``merge_exp_histograms`` consumes: at real scale the input is a
+    corpus-sized fact table and the second scan this removes is a second
+    pass over the corpus.
+
+    Mechanism: the gate joins the grouping key (so the aggregate stays
+    exactly as wide as one fine-scale rollup — a single gated pass with
+    both families' conditional aggregates was MEASURED SLOWER than two
+    scans: ~116 agg columns of WHEN chains lose whole-stage-codegen
+    economics), every group aggregates at the FINE spec, and the coarse
+    family is derived from the fine dense arrays by the same lossless
+    ``downscale_exp_buckets`` fold ``merge_exp_histograms`` uses — exact
+    because the coarse boundaries are a subset of the fine ones, which is
+    what ``false_spec`` must satisfy (same covered value range:
+    ``max_buckets_t = max_buckets_f * 2^(scale_t - scale_f)``).
+
+    Returns the union eagerly ``localCheckpoint``-ed (the caller owns it,
+    same contract as the frames fed to ``merge_exp_histograms`` before);
+    the intermediate per-(key, gate) fine aggregate is freed here.
+    Row-presence semantics match the two-call form: a family row exists
+    iff its subset contains at least one input row."""
+    from otel_arrow_adapter_spark.caching import free_local_checkpoint
+
+    (mb_t, sc_t), (mb_f, sc_f) = true_spec, false_spec
+    factor = 1 << (sc_t - sc_f)
+    if sc_t < sc_f or mb_t != mb_f * factor:
+        raise ValueError(
+            f"false_spec {false_spec} is not a lossless downscale of "
+            f"true_spec {true_spec}: need max_buckets_t = max_buckets_f * "
+            f"2^(scale_t - scale_f)"
+        )
+    dense = exp_histogram_rollup(
+        points.withColumn("_gate", gate),
+        max_buckets=mb_t,
+        value_col=value_col,
+        keys=(*keys, "_gate"),
+        scale=sc_t,
+        trim=False,
+    ).localCheckpoint(eager=True)
+
+    def family(is_true: bool) -> DataFrame:
+        pos, neg = F.col("positive_bucket_counts"), F.col("negative_bucket_counts")
+        if not is_true:
+            pos = downscale_exp_buckets(pos, F.lit(factor))
+            neg = downscale_exp_buckets(neg, F.lit(factor))
+        pos_off, pos_arr = trim_exp_buckets(pos)
+        neg_off, neg_arr = trim_exp_buckets(neg)
+        return dense.where(F.col("_gate") == is_true).select(
+            *keys,
+            "count",
+            "sum",
+            F.lit(sc_t if is_true else sc_f).cast("int").alias("scale"),
+            "zero_count",
+            pos_off.alias("positive_offset"),
+            pos_arr.alias("positive_bucket_counts"),
+            neg_off.alias("negative_offset"),
+            neg_arr.alias("negative_bucket_counts"),
+            "min",
+            "max",
+        )
+
+    both = family(True).unionByName(family(False)).localCheckpoint(eager=True)
+    free_local_checkpoint(dense)
+    return both
+
+
 def trim_exp_buckets(counts: Column) -> tuple[Column, Column]:
     """Dense offset-0 bucket array -> (offset, sparse array): offset =
     0-based index of the first non-zero count, array trimmed of leading

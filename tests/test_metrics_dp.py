@@ -164,6 +164,38 @@ def test_exp_histogram_rollup_known_answer(spark):
     assert row["sum"] == sum(vals)
 
 
+def test_exp_histogram_rollup_pair_matches_two_calls(spark):
+    """The one-pass gated fusion must be row-identical to the two separate
+    rollups it replaces (including row-presence: a key whose subset is
+    empty on one side yields no family row, and a gate that is all-true
+    for a key yields only the true-side row)."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_adapter_spark.operators.metrics_dp import (
+        exp_histogram_rollup,
+        exp_histogram_rollup_pair,
+    )
+
+    vals = [0, 1, 2, 3, 4, 8, 1 << 17, -1, -3, -(1 << 17), 7, 100]
+    rows = [("m", "ms", i, v) for i, v in enumerate(vals)]
+    # key "n" has ONLY even-idx rows -> no coarse family row may appear
+    rows += [("n", "s", 0, 5), ("n", "s", 2, 9)]
+    df = spark.createDataFrame(
+        rows,
+        "metric_name string, metric_unit string, turn_idx int, metric_value long",
+    )
+    gate = F.col("turn_idx") % 2 == 0
+    fused = exp_histogram_rollup_pair(df, gate, (36, 1), (18, 0))
+    fine = exp_histogram_rollup(df.where(gate), max_buckets=36, scale=1)
+    coarse = exp_histogram_rollup(df.where(~gate), max_buckets=18, scale=0)
+    ref = fine.unionByName(coarse)
+    key = ["metric_name", "metric_unit", "scale"]
+    got = {tuple(r[k] for k in key): r.asDict() for r in fused.collect()}
+    want = {tuple(r[k] for k in key): r.asDict() for r in ref.collect()}
+    assert got == want
+    fused.unpersist()
+
+
 def test_exp_histogram_rollup_floors_doubles(spark):
     """Non-integral values are floored before bucketing (the explicit
     integral-domain contract — F.conv-based bucketing silently mis-bucketed
