@@ -278,12 +278,23 @@ def incremental_dedup(
     Here both sides derive inline from the given frames; nothing below is
     pair-quadratic — the only self-comparison is the fingerprint
     keep-first groupBy."""
-    fp_b = batch.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+    # fingerprints + the exact/batch-dup verdicts are each referenced by
+    # several downstream materializations (survivors' anti-joins AND the
+    # final classification join). Un-checkpointed, every reference
+    # re-derived the whole batch union (4 scans of the source) and re-ran
+    # the md5 fingerprint over the FULL text — the expensive per-row op of
+    # the exact stage — 3-4x per run. The verdict frames are O(batch)
+    # doc_id rows; checkpoint them once and every consumer reads a flat
+    # RDD (guide §1.2 via the same mechanism as caching.owned_result).
+    fp_b = batch.select(
+        "doc_id", fingerprint(F.col(text_col)).alias("fp")
+    ).localCheckpoint(eager=True)
     fp_i = index.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
     exact = (
         fp_b.join(fp_i, "fp", "left_semi")
         .select("doc_id")
         .withColumn("r_exact", F.lit(True))
+        .localCheckpoint(eager=True)
     )
     keeper = fp_b.groupBy("fp").agg(F.min("doc_id").alias("_keeper"))
     bdup = (
@@ -291,6 +302,7 @@ def incremental_dedup(
         .where(F.col("doc_id") != F.col("_keeper"))
         .select("doc_id")
         .withColumn("r_batch", F.lit(True))
+        .localCheckpoint(eager=True)
     )
     # near-dup vs the index — computed only for docs that SURVIVED the
     # exact stages (classic order: exact first, near on survivors). This
@@ -370,7 +382,7 @@ def incremental_dedup(
         .join(near, "doc_id", "left")
         .select("doc_id", reason.alias("reason"), (reason == "new").alias("keep"))
     )
-    return owned_result(out, cand, sh_surv, sh_idx)
+    return owned_result(out, cand, sh_surv, sh_idx, fp_b, exact, bdup)
 
 
 def dup_clusters(

@@ -494,10 +494,12 @@ def test_no_lingering_caches_after_queries(spark):
         "doc_lsh_candidates",
         "doc_jaccard_pairs",
         "doc_dup_clusters",
+        "doc_incremental_dedup",
         "doc_simhash_near_dups",
         "emb_kmeans_centroids",
         "emb_ivf_search_trained",
         "pipeline_metrics_dp_records",
+        "pipeline_metrics_exp_hist_merge",
         "pipeline_trace_records",
     ]:
         before = set(sc._jsc.getPersistentRDDs().keys())
