@@ -2462,8 +2462,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": q_doc_pii_redact,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_stratified_sample": q_doc_stratified_sample,
+    # -- r6 gate rotation (the r4/r5 ADVICE item the registry comment
+    # below ordered: "Rotate all of them to the head in r6"): the 10
+    # never/stale-gated queries move INSIDE the driver's 50-slot sample
+    # (registry positions 41-50). Every one is locally oracle-green in
+    # ORACLE_FULL_r06.log; the 10 queries they displace are all r5
+    # driver-green (rows in CORRECTNESS_r05.json), so after this round
+    # every registered name has a driver row in r5 ∪ r6. Queries
+    # previously outside the sample: doc_simhash_near_dups /
+    # doc_dedup_exact (newest driver rows r4), doc_pack_offsets (r3),
+    # and the 7 never-gated (doc_source_profile, doc_chunk_spans,
+    # doc_tfidf_terms, doc_length_histogram, doc_repetition_scores,
+    # emb_quantized_topk, events_latency_quantiles_sketch). --
+    "doc_simhash_near_dups": q_doc_simhash_near_dups,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_source_profile": q_doc_source_profile,
+    "doc_pack_offsets": q_doc_pack_offsets,
+    "doc_chunk_spans": q_doc_chunk_spans,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_length_histogram": q_doc_length_histogram,
+    "doc_repetition_scores": q_doc_repetition_scores,
+    "emb_quantized_topk": q_emb_quantized_topk,
+    "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
+    # -- displaced out of the sample by the r6 rotation, all r5
+    # driver-green (dedup family: jaccard/lsh cache-ownership fix landed
+    # in r5) --
     "doc_unigram_logprob": q_doc_unigram_logprob,
-    # -- dedup family (jaccard/lsh cache-ownership fix lands in r5) --
     "doc_lsh_candidates": q_doc_lsh_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
@@ -2473,30 +2497,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_sft_pairs": q_conv_sft_pairs,
     "conv_quality": q_conv_quality,
     "conv_dedup": q_conv_dedup,
-    "doc_simhash_near_dups": q_doc_simhash_near_dups,
-    "doc_dedup_exact": q_doc_dedup_exact,
-    # -- 56 never-gated r5 queries compete for 50 sample slots; these six
-    # are the ones left outside (each is shadowed by a gated sibling plus a
-    # known-answer pytest, and all pass tools/oracle_check.py locally):
-    # doc_length_histogram (pure groupBy sibling of gated
-    # doc_source_profile), doc_repetition_scores (columnar sibling of gated
-    # doc_boilerplate_ngrams), emb_quantized_topk (int8 variant of gated
-    # emb_cosine_topk), events_latency_quantiles_sketch (sketch variant of
-    # gated events_latency_quantiles), doc_tfidf_terms (idf sibling of
-    # gated doc_dsir_weights/doc_bm25_topk), doc_chunk_spans (zero-shuffle
-    # map-only, exact-span pytest). doc_pack_offsets sits here too: it has
-    # an r3 driver-green row and its code/oracle are untouched since.
-    # doc_source_profile: dashboard whose components (dup rate, quality
-    # means, lang spread) are each gated individually (doc_dedup_exact,
-    # doc_quality, doc_lang_id). Rotate all of them to the head in r6. --
-    "doc_source_profile": q_doc_source_profile,
-    "doc_pack_offsets": q_doc_pack_offsets,
-    "doc_chunk_spans": q_doc_chunk_spans,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
-    "doc_length_histogram": q_doc_length_histogram,
-    "doc_repetition_scores": q_doc_repetition_scores,
-    "emb_quantized_topk": q_emb_quantized_topk,
-    "events_latency_quantiles_sketch": q_events_latency_quantiles_sketch,
     # -- the rest --
     "pipeline_severity_rollup": q_pipeline_severity_rollup,
     "pipeline_sink_counts": q_pipeline_sink_counts,
