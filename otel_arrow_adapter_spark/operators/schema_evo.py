@@ -64,10 +64,18 @@ def write_versioned(df: DataFrame, out_dir: str, subdir: str = "versioned", stat
 
 def read_versioned(spark: SparkSession, out_dir: str, subdir: str = "versioned") -> DataFrame:
     """Union every schema stream by name (missing columns null) — the
-    consumer's per-schema readers merged into one relation."""
-    import glob
+    consumer's per-schema readers merged into one relation.
 
-    dirs = sorted(glob.glob(f"{out_dir}/{subdir}/schema_id=*"))
+    Streams are listed via the Hadoop FS resolved from the path's scheme
+    (same as ``write_versioned``'s existence check and the quarantine
+    deletes in plans/pipeline.py), not a local ``glob.glob`` — with a
+    ``file://``/``hdfs://`` out_dir the local glob saw no matches and
+    raised FileNotFoundError on streams that exist."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{subdir}/schema_id=*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(pattern) or []
+    dirs = sorted(st.getPath().toString() for st in statuses)
     if not dirs:
         raise FileNotFoundError(f"no schema streams under {out_dir}/{subdir}")
     out = None
