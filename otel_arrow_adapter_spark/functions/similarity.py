@@ -606,6 +606,11 @@ def pq_subvectors(
 ) -> DataFrame:
     """(vec_id, sub, subvec) — each vector split into ``m`` contiguous
     subspaces of dim/m dims. Pure slice+explode, narrow (no shuffle)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the trailing {dim % m} "
+            f"dimensions would be silently dropped from every subvector"
+        )
     d = dim // m
     parts = F.array(
         *[

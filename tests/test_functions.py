@@ -1127,6 +1127,17 @@ def test_bpe_apply_empty_and_unseen(spark):
     assert out[4] == 2  # the merge applies to unseen WORDS too
 
 
+def test_pq_subvectors_rejects_indivisible_dim(spark, emb):
+    """ADVICE r5: dim % m != 0 silently dropped the trailing dimensions
+    from every subvector; it must raise instead."""
+    import pytest as _pytest
+
+    from otel_arrow_adapter_spark.functions.similarity import pq_subvectors
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_subvectors(emb, m=7, dim=64)
+
+
 def test_pq_encode_seed_vectors_code_to_themselves(spark, emb):
     """Seed codebooks are the first n_codes vectors' subvectors, so those
     vectors must encode to their own code with distance 0 in EVERY
